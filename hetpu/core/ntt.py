@@ -1,0 +1,139 @@
+"""Negacyclic NTT/INTT over RNS limb-planar arrays [..., L, N] (pure JAX).
+
+This is the TPU replacement for SEAL's ``util::ntt_negacyclic_harvey``
+(invoked inside every Evaluator op the reference uses — SURVEY.md §2b,
+"negacyclic NTT/INTT butterflies").  Design (SURVEY.md §7 Phase 1):
+
+  * limbs vectorized along the sublane axis, butterflies along lanes;
+  * forward = Cooley-Tukey decimation, natural → bit-reversed order;
+    inverse = Gentleman-Sande, bit-reversed → natural order — no explicit
+    bit-reversal permutation ever happens (same trick as SEAL/Harvey);
+  * ψ (2N-th root) powers folded into the twiddle tables ⇒ negacyclic wrap
+    is free;
+  * per-stage twiddle multiply is a Shoup multiply (6 int32 muls) with
+    tables precomputed host-side;
+  * the stage loop is unrolled at trace time (log2 N stages, static shapes,
+    each stage a single fused VPU op for XLA).
+
+Ciphertexts stay in this bit-reversed evaluation order between ops (like
+SEAL's CKKS pipeline); Galois/rotation tables account for the ordering
+(see galois.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import nt
+from .modular import mod_add, mod_sub, shoup_mul, shoup_precompute
+
+
+@dataclass(frozen=True)
+class NttTables:
+    """Per-RNS-basis twiddle tables. All arrays numpy uint32, device-put lazily.
+
+    Shapes: w_* are [L, N]; n_inv_* are [L, 1]; q/mu-style constants [L, 1].
+    """
+
+    n: int
+    primes: tuple[int, ...]
+    q: np.ndarray               # [L, 1]
+    fwd_w: np.ndarray           # ψ^{br(i)}        [L, N]
+    fwd_w_shoup: np.ndarray
+    inv_w: np.ndarray           # ψ^{-br(i)}       [L, N]
+    inv_w_shoup: np.ndarray
+    n_inv: np.ndarray           # N^{-1} mod q     [L, 1]
+    n_inv_shoup: np.ndarray
+
+
+def build_tables(n: int, primes) -> NttTables:
+    logn = n.bit_length() - 1
+    L = len(primes)
+    fwd = np.zeros((L, n), dtype=np.uint32)
+    inv = np.zeros((L, n), dtype=np.uint32)
+    n_inv = np.zeros((L, 1), dtype=np.uint32)
+    br = np.array([nt.bit_reverse(i, logn) for i in range(n)])
+    for li, q in enumerate(primes):
+        psi = nt.root_of_unity(2 * n, q)
+        psi_inv = nt.modinv(psi, q)
+        # powers ψ^i then scatter to bit-reversed index layout
+        pw = np.empty(n, dtype=object)
+        ipw = np.empty(n, dtype=object)
+        x = ix = 1
+        for i in range(n):
+            pw[i] = x
+            ipw[i] = ix
+            x = x * psi % q
+            ix = ix * psi_inv % q
+        fwd[li] = pw[br].astype(np.uint64).astype(np.uint32)
+        inv[li] = ipw[br].astype(np.uint64).astype(np.uint32)
+        n_inv[li, 0] = nt.modinv(n, q)
+    qcol = np.array([int(p) for p in primes], dtype=np.uint32).reshape(-1, 1)
+    return NttTables(
+        n=n,
+        primes=tuple(int(p) for p in primes),
+        q=qcol,
+        fwd_w=fwd,
+        fwd_w_shoup=shoup_precompute(fwd, qcol),
+        inv_w=inv,
+        inv_w_shoup=shoup_precompute(inv, qcol),
+        n_inv=n_inv,
+        n_inv_shoup=shoup_precompute(n_inv, qcol),
+    )
+
+
+# ----------------------------------------------------------------------
+# Forward / inverse transforms
+# ----------------------------------------------------------------------
+
+def ntt_fwd(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
+    """Negacyclic forward NTT. a: uint32 [..., L, N] (natural coeff order)
+    → [..., L, N] evaluations in bit-reversed order."""
+    n = t.n
+    L = len(t.primes)
+    lead = a.shape[:-2]
+    q3 = t.q.reshape(L, 1, 1)
+    x = a
+    m = 1
+    half = n // 2
+    while m < n:
+        # blocks: [m, 2, half]; twiddles for this stage: table[m : 2m]
+        x = x.reshape(*lead, L, m, 2, half)
+        w = t.fwd_w[:, m : 2 * m].reshape(L, m, 1)
+        ws = t.fwd_w_shoup[:, m : 2 * m].reshape(L, m, 1)
+        u = x[..., 0, :]
+        v = shoup_mul(x[..., 1, :], w, ws, q3)
+        x = jnp.stack([mod_add(u, v, q3), mod_sub(u, v, q3)], axis=-2)
+        m *= 2
+        half //= 2
+    return x.reshape(*lead, L, n)
+
+
+def ntt_inv(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
+    """Negacyclic inverse NTT. Bit-reversed evaluations → natural coeffs,
+    including the final N^{-1} scaling."""
+    n = t.n
+    L = len(t.primes)
+    lead = a.shape[:-2]
+    q3 = t.q.reshape(L, 1, 1)
+    x = a
+    m = n // 2
+    half = 1
+    while m >= 1:
+        x = x.reshape(*lead, L, m, 2, half)
+        w = t.inv_w[:, m : 2 * m].reshape(L, m, 1)
+        ws = t.inv_w_shoup[:, m : 2 * m].reshape(L, m, 1)
+        u = x[..., 0, :]
+        v = x[..., 1, :]
+        s = mod_add(u, v, q3)
+        d = shoup_mul(mod_sub(u, v, q3), w, ws, q3)
+        x = jnp.stack([s, d], axis=-2)
+        m //= 2
+        half *= 2
+    x = x.reshape(*lead, L, n)
+    return shoup_mul(x, t.n_inv, t.n_inv_shoup, t.q)
