@@ -1,0 +1,112 @@
+"""CKKS canonical-embedding encoder/decoder (host-side float64 + exact RNS).
+
+Replaces SEAL's ``CKKSEncoder`` (used at every reference encode/decode site,
+e.g. ``he_math.cpp:32-40``, ``he_fft.cpp:47``, ``matrix_operations.cpp:167``).
+
+Math.  With ζ = e^{iπ/N} (primitive 2N-th root) the message poly m(x) is
+pinned by its values at the N primitive roots ζ^{2j+1}.  Using the twist
+a_k = m_k·ζ^k these values are one length-N (i)FFT:
+
+    m(ζ^{2j+1}) = Σ_k (m_k ζ^k) e^{2πi jk/N}  =  N·ifft(a)[j]
+
+so encode = fft, decode = ifft — O(N log N) in numpy float64 (encode/decode
+are client-side host ops in the offload model; the TPU never needs them in
+the hot path — masks/twiddles are encoded once and cached).
+
+Slot order.  Slot s ↔ exponent 5^s mod 2N, conjugate pair at -5^s.  This is
+what makes galois element 5^k a left-rotation by k (galois.py) — the
+encoder and the rotation tables must share one convention, pinned by
+tests/test_scheme.py::test_rotate.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from .ciphertext import Plaintext
+from .context import Context
+from .modular import shoup_precompute
+from .ntt import ntt_fwd, ntt_inv
+from .params import Scheme
+
+
+class CkksEncoder:
+    def __init__(self, ctx: Context):
+        if ctx.params.scheme != Scheme.CKKS:
+            raise ValueError("CkksEncoder requires CKKS params")
+        self.ctx = ctx
+        n = ctx.params.poly_degree
+        self.n = n
+        self.slots = n // 2
+        k = np.arange(n)
+        self.zeta_pow = np.exp(1j * np.pi * k / n)        # ζ^k
+        self.zeta_neg = np.conj(self.zeta_pow)            # ζ^{-k}
+        # slot s ↔ evaluation index j = (5^s mod 2N - 1)/2 ; conj at -5^s
+        two_n = 2 * n
+        e = 1
+        slot_j = np.empty(self.slots, dtype=np.int64)
+        conj_j = np.empty(self.slots, dtype=np.int64)
+        for s in range(self.slots):
+            slot_j[s] = (e - 1) // 2
+            conj_j[s] = (two_n - e - 1) // 2
+            e = e * 5 % two_n
+        self.slot_j = slot_j
+        self.conj_j = conj_j
+
+    @property
+    def slot_count(self) -> int:
+        return self.slots
+
+    # ------------------------------------------------------------------
+    def coeffs_from_values(self, values) -> np.ndarray:
+        """Complex slot values (scalar or ≤slots vector) → real float64
+        coefficient vector (unscaled)."""
+        z = np.asarray(values, dtype=np.complex128)
+        if z.ndim == 0:
+            z = np.full(self.slots, z)
+        if z.ndim != 1 or z.shape[0] > self.slots:
+            raise ValueError(f"expected ≤{self.slots} values, got {z.shape}")
+        if z.shape[0] < self.slots:
+            z = np.concatenate([z, np.zeros(self.slots - z.shape[0], z.dtype)])
+        v = np.zeros(self.n, dtype=np.complex128)
+        v[self.slot_j] = z
+        v[self.conj_j] = np.conj(z)
+        a = np.fft.fft(v) / self.n
+        m = a * self.zeta_neg
+        return m.real  # imaginary part is fp round-off by construction
+
+    def values_from_coeffs(self, coeffs: np.ndarray) -> np.ndarray:
+        """Real coefficient vector → complex slot values (unscaled)."""
+        a = coeffs.astype(np.complex128) * self.zeta_pow
+        v = self.n * np.fft.ifft(a)
+        return v[self.slot_j]
+
+    # ------------------------------------------------------------------
+    def encode(self, values, level: int | None = None,
+               scale: float | None = None) -> Plaintext:
+        """Encode complex values into an NTT-domain plaintext with Shoup
+        tables (ready for 6-int-mul ct·pt multiply)."""
+        ctx = self.ctx
+        if level is None:
+            level = ctx.num_data - 1
+        if scale is None:
+            scale = ctx.params.scale
+        m = self.coeffs_from_values(values) * scale
+        amax = np.abs(m).max() if m.size else 0.0
+        if amax >= 2**62:
+            ints = np.array([round(x) for x in m], dtype=object)
+        else:
+            ints = np.rint(m).astype(np.int64)
+        res = ctx.to_rns(ints, level)                      # [ℓ+1, N] standard
+        data = np.asarray(ntt_fwd(jnp.asarray(res), ctx.tables(level)))
+        shoup = shoup_precompute(data, ctx.tables(level).q)
+        return Plaintext(data=jnp.asarray(data), shoup=jnp.asarray(shoup),
+                         level=level, scale=float(scale))
+
+    def decode(self, coeff_residues: np.ndarray, level: int,
+               scale: float) -> np.ndarray:
+        """[ℓ+1, N] standard-form coefficient residues → complex slots."""
+        centered = self.ctx.crt_lift(np.asarray(coeff_residues), level)
+        m = centered.astype(np.float64) / scale
+        return self.values_from_coeffs(m)

@@ -1,0 +1,109 @@
+"""RLWE encryption / decryption.
+
+Replaces SEAL's ``Encryptor``/``Decryptor`` (reference:
+``client.cpp:113-115`` — note the reference deliberately uses
+``encrypt_symmetric`` to halve ciphertext size on the wire; we reproduce
+that with seed-expanded symmetric ciphertexts).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from . import random as rnd
+from .ciphertext import Ciphertext, Plaintext
+from .context import Context
+from .encoding import CkksEncoder
+from .keys import PublicKey, SecretKey
+from .modular import mod_add, mod_neg, mont_mul, shoup_mul
+from .ntt import ntt_fwd_mont, ntt_inv
+
+
+def _pt_to_mont(pt: Plaintext, tabs):
+    """Standard-form plaintext → Montgomery (for additive use)."""
+    return shoup_mul(pt.data, tabs.r, tabs.r_shoup, tabs.q)
+
+
+class Encryptor:
+    def __init__(self, ctx: Context, public_key: PublicKey | None = None,
+                 secret_key: SecretKey | None = None):
+        if public_key is None and secret_key is None:
+            raise ValueError("need a public or secret key")
+        self.ctx = ctx
+        self.pk = public_key
+        self.sk = secret_key
+
+    def encrypt(self, pt: Plaintext, seed: bytes | None = None) -> Ciphertext:
+        """Public-key encryption: (b·u + e0 + m, a·u + e1)."""
+        if self.pk is None:
+            return self.encrypt_symmetric(pt, seed)
+        ctx = self.ctx
+        lvl = pt.level
+        n = ctx.params.poly_degree
+        tabs = ctx.tables(lvl)
+        mc = ctx.mont(lvl)
+        seed = seed if seed is not None else rnd.new_seed()
+        u = rnd.signed_to_rns(rnd.ternary(seed, 1, n), tabs.q)
+        u_m = ntt_fwd_mont(jnp.asarray(u), tabs)
+        e0 = ntt_fwd_mont(jnp.asarray(
+            rnd.signed_to_rns(rnd.gaussian(seed, 2, n), tabs.q)), tabs)
+        e1 = ntt_fwd_mont(jnp.asarray(
+            rnd.signed_to_rns(rnd.gaussian(seed, 3, n), tabs.q)), tabs)
+        b = self.pk.data[0, : lvl + 1]
+        a = self.pk.data[1, : lvl + 1]
+        q, qn = mc["q"], mc["qinv_neg"]
+        c0 = mod_add(mod_add(mont_mul(b, u_m, q, qn), e0, q),
+                     _pt_to_mont(pt, tabs), q)
+        c1 = mod_add(mont_mul(a, u_m, q, qn), e1, q)
+        return Ciphertext(data=jnp.stack([c0, c1]), level=lvl, scale=pt.scale)
+
+    def encrypt_symmetric(self, pt: Plaintext,
+                          seed: bytes | None = None) -> Ciphertext:
+        """Secret-key encryption: (-(a·s) + e + m, a) with `a` expanded from
+        a seed — the compact-wire form the reference's client uses."""
+        if self.sk is None:
+            raise ValueError("symmetric encryption needs the secret key")
+        ctx = self.ctx
+        lvl = pt.level
+        n = ctx.params.poly_degree
+        tabs = ctx.tables(lvl)
+        mc = ctx.mont(lvl)
+        seed = seed if seed is not None else rnd.new_seed()
+        a = jnp.asarray(rnd.uniform_rns(seed, 101, tabs.q, n))
+        e = ntt_fwd_mont(jnp.asarray(
+            rnd.signed_to_rns(rnd.gaussian(seed, 102, n), tabs.q)), tabs)
+        q, qn = mc["q"], mc["qinv_neg"]
+        s = self.sk.data[: lvl + 1]
+        c0 = mod_add(mod_add(mod_neg(mont_mul(a, s, q, qn), q), e, q),
+                     _pt_to_mont(pt, tabs), q)
+        return Ciphertext(data=jnp.stack([c0, a]), level=lvl, scale=pt.scale)
+
+
+class Decryptor:
+    def __init__(self, ctx: Context, secret_key: SecretKey):
+        self.ctx = ctx
+        self.sk = secret_key
+        self._encoder: CkksEncoder | None = None
+
+    def decrypt_to_coeffs(self, ct: Ciphertext) -> np.ndarray:
+        """Σ_k c_k·s^k, INTT'd → standard-form coefficient residues
+        [ℓ+1, N] (numpy).  Supports 2- and 3-part ciphertexts."""
+        ctx = self.ctx
+        lvl = ct.level
+        mc = ctx.mont(lvl)
+        q, qn = mc["q"], mc["qinv_neg"]
+        s = self.sk.data[: lvl + 1]
+        acc = ct.data[..., 0, :, :]
+        s_pow = s
+        for k in range(1, ct.num_parts):
+            acc = mod_add(acc, mont_mul(ct.data[..., k, :, :], s_pow, q, qn), q)
+            s_pow = mont_mul(s_pow, s, q, qn)
+        coeffs = ntt_inv(acc, ctx.tables(lvl), strip_mont=True)
+        return np.asarray(coeffs)
+
+    def decrypt(self, ct: Ciphertext) -> np.ndarray:
+        """Decrypt + CKKS-decode to complex slot values."""
+        if self._encoder is None:
+            self._encoder = CkksEncoder(self.ctx)
+        return self._encoder.decode(self.decrypt_to_coeffs(ct), ct.level, ct.scale)

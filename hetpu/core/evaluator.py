@@ -1,0 +1,275 @@
+"""The homomorphic evaluator: every op the reference's DSL wraps.
+
+Op-for-op parity with ``he_operators.cpp:14-237`` (which wraps
+``seal::Evaluator`` 1:1):  negate(:14) add/sub/mult ct-ct & ct-pt(:33-142),
+relinearize(:147), rescale(:166), mod_switch(:185), rotate ±(:204-237) —
+plus square and fused multiply+relin+rescale (the reference's hot
+combination, ``he_linalg.cpp:556-584``).
+
+All methods are *pure traceable functions* on Ciphertext pytrees: no
+internal jit, so callers compose entire encrypted pipelines (matmul,
+least-squares, FFT) and jit ONCE at the top — the XLA-idiomatic shape.
+Level/scale are static → jit specializes per chain position, mirroring
+SEAL's per-context_data dispatch, with a bounded trace-cache (≤ chain
+depth).
+
+Hot-loop cost model (per [L, N] limb-plane, int32 multiplies/element):
+  add/sub 0 · ct-pt mult 6 (Shoup) · ct-ct mult 10 (Montgomery) ·
+  keyswitch = (ℓ+1) INTT + (ℓ+1)(ℓ+2) NTT-equivalents + 10(ℓ+1)(ℓ+2) MACs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from . import galois
+from .ciphertext import Ciphertext, Plaintext, check_add_compat, scales_close
+from .context import Context, KeySwitchPlan, RescalePlan
+from .keys import GaloisKeys, KSwitchKey, RelinKeys
+from .modular import (
+    barrett_reduce_u32,
+    mod_add,
+    mod_neg,
+    mod_sub,
+    mont_mul,
+    shoup_mul,
+)
+from .ntt import ntt_fwd, ntt_fwd_mont, ntt_inv
+
+
+class Evaluator:
+    def __init__(self, ctx: Context):
+        self.ctx = ctx
+
+    # ------------------------------------------------------------------
+    # linear ops
+    # ------------------------------------------------------------------
+
+    def negate(self, ct: Ciphertext) -> Ciphertext:
+        q = self.ctx.mont(ct.level)["q"]
+        return ct.with_(data=mod_neg(ct.data, q))
+
+    def _pad_parts(self, a: Ciphertext, b: Ciphertext):
+        if a.num_parts == b.num_parts:
+            return a.data, b.data
+        big, small = (a, b) if a.num_parts > b.num_parts else (b, a)
+        pad = jnp.zeros(
+            (*small.batch_shape, big.num_parts - small.num_parts,
+             small.data.shape[-2], small.poly_degree), dtype=jnp.uint32)
+        sd = jnp.concatenate([small.data, pad], axis=-3)
+        return (big.data, sd) if a.num_parts > b.num_parts else (sd, big.data)
+
+    def add(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        check_add_compat(a, b, "add")
+        da, db = self._pad_parts(a, b)
+        q = self.ctx.mont(a.level)["q"]
+        return Ciphertext(data=mod_add(da, db, q), level=a.level, scale=a.scale)
+
+    def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        check_add_compat(a, b, "sub")
+        da, db = self._pad_parts(a, b)
+        q = self.ctx.mont(a.level)["q"]
+        return Ciphertext(data=mod_sub(da, db, q), level=a.level, scale=a.scale)
+
+    def add_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+        check_add_compat(ct, pt, "add_plain")
+        tabs = self.ctx.tables(ct.level)
+        ptm = shoup_mul(pt.data, tabs.r, tabs.r_shoup, tabs.q)
+        d = ct.data.at[..., 0, :, :].set(mod_add(ct.data[..., 0, :, :], ptm, tabs.q))
+        return ct.with_(data=d)
+
+    def sub_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+        check_add_compat(ct, pt, "sub_plain")
+        tabs = self.ctx.tables(ct.level)
+        ptm = shoup_mul(pt.data, tabs.r, tabs.r_shoup, tabs.q)
+        d = ct.data.at[..., 0, :, :].set(mod_sub(ct.data[..., 0, :, :], ptm, tabs.q))
+        return ct.with_(data=d)
+
+    # ------------------------------------------------------------------
+    # multiplication
+    # ------------------------------------------------------------------
+
+    def multiply_plain(self, ct: Ciphertext, pt: Plaintext) -> Ciphertext:
+        if ct.level != pt.level:
+            raise ValueError(f"multiply_plain: level {ct.level} vs {pt.level}")
+        q = self.ctx.tables(ct.level).q
+        d = shoup_mul(ct.data, pt.data[..., None, :, :],
+                      pt.shoup[..., None, :, :], q)
+        return Ciphertext(data=d, level=ct.level, scale=ct.scale * pt.scale)
+
+    def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        """ct·ct tensor product → 3-part ciphertext (Karatsuba: 3 modular
+        multiplies instead of 4)."""
+        if a.level != b.level:
+            raise ValueError(f"multiply: level {a.level} vs {b.level}")
+        if a.num_parts != 2 or b.num_parts != 2:
+            raise ValueError("multiply requires 2-part inputs (relinearize first)")
+        mc = self.ctx.mont(a.level)
+        q, qn = mc["q"], mc["qinv_neg"]
+        c0, c1 = a.data[..., 0, :, :], a.data[..., 1, :, :]
+        d0, d1 = b.data[..., 0, :, :], b.data[..., 1, :, :]
+        t0 = mont_mul(c0, d0, q, qn)
+        t2 = mont_mul(c1, d1, q, qn)
+        t1 = mod_sub(
+            mod_sub(mont_mul(mod_add(c0, c1, q), mod_add(d0, d1, q), q, qn), t0, q),
+            t2, q)
+        return Ciphertext(data=jnp.stack([t0, t1, t2], axis=-3),
+                          level=a.level, scale=a.scale * b.scale)
+
+    def square(self, a: Ciphertext) -> Ciphertext:
+        if a.num_parts != 2:
+            raise ValueError("square requires a 2-part input")
+        mc = self.ctx.mont(a.level)
+        q, qn = mc["q"], mc["qinv_neg"]
+        c0, c1 = a.data[..., 0, :, :], a.data[..., 1, :, :]
+        t0 = mont_mul(c0, c0, q, qn)
+        t2 = mont_mul(c1, c1, q, qn)
+        t01 = mont_mul(c0, c1, q, qn)
+        t1 = mod_add(t01, t01, q)
+        return Ciphertext(data=jnp.stack([t0, t1, t2], axis=-3),
+                          level=a.level, scale=a.scale * a.scale)
+
+    # ------------------------------------------------------------------
+    # key switching: relinearize / rotate / conjugate
+    # ------------------------------------------------------------------
+
+    def _keyswitch(self, d: jax.Array, level: int, ksk: KSwitchKey):
+        """Switch poly `d` ([..., ℓ+1, N] Montgomery NTT, multiplying some
+        s') to the base secret.  Returns (p0, p1) Montgomery NTT.
+
+        Hybrid, per-prime digits, single special prime (SURVEY.md §2b
+        'relinearization & Galois key-switching').
+        """
+        plan: KeySwitchPlan = self.ctx.keyswitch_plan(level)
+        J = plan.num_digits
+        # 1. digits → coefficient domain, standard form (free Mont-strip)
+        coeffs = ntt_inv(d, self.ctx.tables(level), strip_mont=True)
+        # 2. lift each digit to the key basis {q_0..q_ℓ, P}
+        ext = barrett_reduce_u32(coeffs[..., :, None, :], plan.q, plan.mu)
+        # 3. forward NTT in the key basis (standard form: R²-form keys make
+        #    the inner product land in Montgomery form for free)
+        ext = ntt_fwd(ext, plan.basis_tables)
+        # 4. inner product with the switching key, accumulated over digits
+        k = jnp.concatenate(
+            [ksk.data[:J, :, : level + 1], ksk.data[:J, :, -1:]], axis=2)
+        ext_j = jnp.moveaxis(ext, -3, 0)              # [J, ..., R, N]
+        q, qn = plan.q, plan.qinv_neg
+
+        def body(acc, xs):
+            e_j, k_j = xs                              # [..., R, N], [2, R, N]
+            prod = mont_mul(e_j[..., None, :, :], k_j, q, qn)
+            return mod_add(acc, prod, q), None
+
+        batch = ext.shape[:-3]
+        acc0 = jnp.zeros((*batch, 2, J + 1, ext.shape[-1]), dtype=jnp.uint32)
+        acc, _ = jax.lax.scan(body, acc0, (ext_j, k))
+        # 5. divide by P, back to {q_0..q_ℓ}
+        out = _div_round_last(acc, plan.moddown)
+        return out[..., 0, :, :], out[..., 1, :, :]
+
+    def relinearize(self, ct: Ciphertext, rk: RelinKeys) -> Ciphertext:
+        if ct.num_parts != 3:
+            raise ValueError("relinearize expects a 3-part ciphertext")
+        p0, p1 = self._keyswitch(ct.data[..., 2, :, :], ct.level, rk.key)
+        q = self.ctx.mont(ct.level)["q"]
+        d = jnp.stack([mod_add(ct.data[..., 0, :, :], p0, q),
+                       mod_add(ct.data[..., 1, :, :], p1, q)], axis=-3)
+        return Ciphertext(data=d, level=ct.level, scale=ct.scale)
+
+    def apply_galois(self, ct: Ciphertext, elt: int, gk: GaloisKeys) -> Ciphertext:
+        if ct.num_parts != 2:
+            raise ValueError("apply_galois expects a 2-part ciphertext")
+        n = self.ctx.params.poly_degree
+        c0 = galois.apply(ct.data[..., 0, :, :], n, elt)
+        c1 = galois.apply(ct.data[..., 1, :, :], n, elt)
+        p0, p1 = self._keyswitch(c1, ct.level, gk.key_for(elt))
+        q = self.ctx.mont(ct.level)["q"]
+        d = jnp.stack([mod_add(c0, p0, q), p1], axis=-3)
+        return Ciphertext(data=d, level=ct.level, scale=ct.scale)
+
+    def rotate(self, ct: Ciphertext, steps: int, gk: GaloisKeys) -> Ciphertext:
+        """Rotate slots left by `steps` (negative → right), decomposing into
+        available keyed steps when the exact key is missing (SEAL
+        rotate_vector semantics; reference ``he_operators.cpp:204-237``)."""
+        n = self.ctx.params.poly_degree
+        slots = n // 2
+        steps = steps % slots
+        if steps == 0:
+            return ct
+        e = galois.rotation_elt(n, steps)
+        if gk.has(e):
+            return self.apply_galois(ct, e, gk)
+        # greedy power-of-two decomposition (default keyset covers ±2^i)
+        remaining = steps
+        bit = 1 << (slots.bit_length() - 2) if slots > 1 else 1
+        out = ct
+        while remaining:
+            while bit > remaining:
+                bit >>= 1
+            e = galois.rotation_elt(n, bit)
+            if not gk.has(e):
+                raise KeyError(f"no galois key chain to rotate by {steps}")
+            out = self.apply_galois(out, e, gk)
+            remaining -= bit
+        return out
+
+    def conjugate(self, ct: Ciphertext, gk: GaloisKeys) -> Ciphertext:
+        return self.apply_galois(ct, galois.conjugation_elt(
+            self.ctx.params.poly_degree), gk)
+
+    # ------------------------------------------------------------------
+    # modulus chain management
+    # ------------------------------------------------------------------
+
+    def rescale(self, ct: Ciphertext) -> Ciphertext:
+        """Divide-and-round by the last active prime; level-1, scale/q_ℓ
+        (SEAL rescale_to_next; reference `^` operator)."""
+        plan = self.ctx.rescale_plan(ct.level)
+        d = _div_round_last(ct.data, plan)
+        q_last = self.ctx.params.moduli[ct.level]
+        return Ciphertext(data=d, level=ct.level - 1, scale=ct.scale / q_last)
+
+    def mod_switch(self, ct: Ciphertext) -> Ciphertext:
+        """Drop the last prime without scaling (SEAL mod_switch_to_next;
+        reference `|` operator)."""
+        if ct.level < 1:
+            raise ValueError("cannot mod_switch below level 0")
+        return Ciphertext(data=ct.data[..., : ct.level, :],
+                          level=ct.level - 1, scale=ct.scale)
+
+    def mod_switch_to(self, ct: Ciphertext, level: int) -> Ciphertext:
+        out = ct
+        while out.level > level:
+            out = self.mod_switch(out)
+        return out
+
+    # ------------------------------------------------------------------
+    # fused conveniences (reference hot combos)
+    # ------------------------------------------------------------------
+
+    def multiply_relin_rescale(self, a, b, rk: RelinKeys) -> Ciphertext:
+        return self.rescale(self.relinearize(self.multiply(a, b), rk))
+
+    def square_relin_rescale(self, a, rk: RelinKeys) -> Ciphertext:
+        return self.rescale(self.relinearize(self.square(a), rk))
+
+    def multiply_plain_rescale(self, ct, pt: Plaintext) -> Ciphertext:
+        return self.rescale(self.multiply_plain(ct, pt))
+
+
+def _div_round_last(data: jax.Array, plan: RescalePlan) -> jax.Array:
+    """Divide a Montgomery-NTT poly array [..., m, N] by its last prime,
+    rounding (SEAL divide_and_round_q_last_ntt semantics): result over the
+    remaining m-1 primes."""
+    last = data[..., -1:, :]
+    rest = data[..., :-1, :]
+    q_src = plan.src_tables.q
+    last_c = ntt_inv(last, plan.src_tables, strip_mont=True)
+    l2 = mod_add(last_c, plan.half, q_src)
+    v = barrett_reduce_u32(l2, plan.dst_tables.q, plan.mu)
+    v = mod_sub(v, plan.half_mod, plan.dst_tables.q)
+    vm = ntt_fwd_mont(v, plan.dst_tables)
+    return shoup_mul(mod_sub(rest, vm, plan.dst_tables.q),
+                     plan.src_inv, plan.src_inv_shoup, plan.dst_tables.q)

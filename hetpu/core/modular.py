@@ -135,10 +135,10 @@ def mont_constants(primes) -> dict[str, np.ndarray]:
 
 def shoup_precompute(w: np.ndarray, primes: np.ndarray) -> np.ndarray:
     """floor(w * 2^32 / q) elementwise; w shape [..., L, N] (or [L, 1]),
-    primes broadcastable.  Host-side exact (python object ints)."""
-    w_obj = w.astype(object)
-    q_obj = np.broadcast_to(primes, w.shape).astype(object)
-    return ((w_obj << 32) // q_obj).astype(np.uint32)
+    primes broadcastable.  Host-side exact: w < 2^31 so w<<32 fits uint64."""
+    w64 = w.astype(np.uint64)
+    q64 = np.broadcast_to(primes, w.shape).astype(np.uint64)
+    return ((w64 << np.uint64(32)) // q64).astype(np.uint32)
 
 
 def to_mont(a, consts):

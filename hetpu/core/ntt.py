@@ -38,6 +38,12 @@ class NttTables:
     """Per-RNS-basis twiddle tables. All arrays numpy uint32, device-put lazily.
 
     Shapes: w_* are [L, N]; n_inv_* are [L, 1]; q/mu-style constants [L, 1].
+
+    Montgomery-domain support (the scheme keeps ciphertext/key polys in
+    Montgomery form — x·R mod q, R=2^32): Shoup-multiplying a Montgomery
+    value by a *standard* constant keeps the domain, so the twiddle tables
+    work on either domain.  ``n_inv_rinv`` = N⁻¹·R⁻¹ mod q lets the inverse
+    transform strip Montgomery form for free; ``r`` = R mod q re-enters it.
     """
 
     n: int
@@ -49,14 +55,41 @@ class NttTables:
     inv_w_shoup: np.ndarray
     n_inv: np.ndarray           # N^{-1} mod q     [L, 1]
     n_inv_shoup: np.ndarray
+    n_inv_rinv: np.ndarray      # N^{-1}·R^{-1} mod q  [L, 1]
+    n_inv_rinv_shoup: np.ndarray
+    r: np.ndarray               # R mod q          [L, 1]
+    r_shoup: np.ndarray
+
+    def slice(self, idx) -> "NttTables":
+        """Sub-basis view: select primes by index list/array (host-side)."""
+        idx = np.asarray(idx)
+        take = lambda a: np.ascontiguousarray(a[idx])
+        return NttTables(
+            n=self.n,
+            primes=tuple(self.primes[int(i)] for i in idx),
+            q=take(self.q),
+            fwd_w=take(self.fwd_w),
+            fwd_w_shoup=take(self.fwd_w_shoup),
+            inv_w=take(self.inv_w),
+            inv_w_shoup=take(self.inv_w_shoup),
+            n_inv=take(self.n_inv),
+            n_inv_shoup=take(self.n_inv_shoup),
+            n_inv_rinv=take(self.n_inv_rinv),
+            n_inv_rinv_shoup=take(self.n_inv_rinv_shoup),
+            r=take(self.r),
+            r_shoup=take(self.r_shoup),
+        )
 
 
 def build_tables(n: int, primes) -> NttTables:
     logn = n.bit_length() - 1
     L = len(primes)
+    R = 1 << 32
     fwd = np.zeros((L, n), dtype=np.uint32)
     inv = np.zeros((L, n), dtype=np.uint32)
     n_inv = np.zeros((L, 1), dtype=np.uint32)
+    n_inv_rinv = np.zeros((L, 1), dtype=np.uint32)
+    r_col = np.zeros((L, 1), dtype=np.uint32)
     br = np.array([nt.bit_reverse(i, logn) for i in range(n)])
     for li, q in enumerate(primes):
         psi = nt.root_of_unity(2 * n, q)
@@ -73,6 +106,8 @@ def build_tables(n: int, primes) -> NttTables:
         fwd[li] = pw[br].astype(np.uint64).astype(np.uint32)
         inv[li] = ipw[br].astype(np.uint64).astype(np.uint32)
         n_inv[li, 0] = nt.modinv(n, q)
+        n_inv_rinv[li, 0] = nt.modinv(n, q) * nt.modinv(R % q, q) % q
+        r_col[li, 0] = R % q
     qcol = np.array([int(p) for p in primes], dtype=np.uint32).reshape(-1, 1)
     return NttTables(
         n=n,
@@ -84,6 +119,10 @@ def build_tables(n: int, primes) -> NttTables:
         inv_w_shoup=shoup_precompute(inv, qcol),
         n_inv=n_inv,
         n_inv_shoup=shoup_precompute(n_inv, qcol),
+        n_inv_rinv=n_inv_rinv,
+        n_inv_rinv_shoup=shoup_precompute(n_inv_rinv, qcol),
+        r=r_col,
+        r_shoup=shoup_precompute(r_col, qcol),
     )
 
 
@@ -114,9 +153,17 @@ def ntt_fwd(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
     return x.reshape(*lead, L, n)
 
 
-def ntt_inv(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
+def ntt_fwd_mont(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
+    """Forward NTT of standard-form coeffs → Montgomery-form evaluations
+    (one extra Shoup pass to multiply by R mod q)."""
+    return shoup_mul(ntt_fwd(a, t), t.r, t.r_shoup, t.q)
+
+
+def ntt_inv(a: jnp.ndarray, t: NttTables, *, strip_mont: bool = False) -> jnp.ndarray:
     """Negacyclic inverse NTT. Bit-reversed evaluations → natural coeffs,
-    including the final N^{-1} scaling."""
+    including the final N^{-1} scaling.  With ``strip_mont`` the input is
+    Montgomery-form and the output standard-form (N⁻¹R⁻¹ folded into the
+    final constant — the conversion is free)."""
     n = t.n
     L = len(t.primes)
     lead = a.shape[:-2]
@@ -136,4 +183,6 @@ def ntt_inv(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
         m //= 2
         half *= 2
     x = x.reshape(*lead, L, n)
+    if strip_mont:
+        return shoup_mul(x, t.n_inv_rinv, t.n_inv_rinv_shoup, t.q)
     return shoup_mul(x, t.n_inv, t.n_inv_shoup, t.q)

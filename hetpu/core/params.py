@@ -202,9 +202,9 @@ _PRESETS = {
     "bench_n14": lambda: ckks_params(1 << 14, levels=8, scale_bits=30),
     # reference matrix_operations.cpp:145-150 — BFV N=2^13
     "bfv_small": lambda: bfv_params(1 << 13, levels=2),
-    # tiny fast-test configs
-    "test_tiny": lambda: ckks_params(1 << 10, levels=2, scale_bits=25,
-                                     first_prime_bits=26, special_prime_bits=26,
+    # tiny fast-test configs (sec_level=0: test-only, too small to be secure)
+    "test_tiny": lambda: ckks_params(1 << 10, levels=2, scale_bits=30,
+                                     first_prime_bits=31, special_prime_bits=31,
                                      sec_level=0),
     "test_bfv_tiny": lambda: bfv_params(1 << 10, levels=2, plain_bits=17,
                                         prime_bits=26, first_prime_bits=27,
