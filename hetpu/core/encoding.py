@@ -64,7 +64,12 @@ class CkksEncoder:
         coefficient vector (unscaled)."""
         z = np.asarray(values, dtype=np.complex128)
         if z.ndim == 0:
-            z = np.full(self.slots, z)
+            # scalar fast path: constant slots ⇔ m(x) = Re(c) + Im(c)·x^{N/2}
+            # exactly (i = ζ^{N/2} at every slot exponent e ≡ 1 mod 4)
+            m = np.zeros(self.n)
+            m[0] = z.real
+            m[self.n // 2] = z.imag
+            return m
         if z.ndim != 1 or z.shape[0] > self.slots:
             raise ValueError(f"expected ≤{self.slots} values, got {z.shape}")
         if z.shape[0] < self.slots:

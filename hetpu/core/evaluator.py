@@ -40,8 +40,23 @@ from .ntt import ntt_fwd, ntt_fwd_mont, ntt_inv
 
 
 class Evaluator:
-    def __init__(self, ctx: Context):
+    """See module docstring.  With ``enable_jit`` (default) every public
+    op is wrapped in ``jax.jit`` — level/scale are static pytree aux data,
+    so XLA compiles one kernel per (op, level, shape) and replays it; an
+    outer user-level jit simply inlines these."""
+
+    def __init__(self, ctx: Context, enable_jit: bool = True):
         self.ctx = ctx
+        if enable_jit:
+            for name in ("negate", "add", "sub", "add_plain", "sub_plain",
+                         "multiply_plain", "multiply", "square",
+                         "relinearize", "rescale", "mod_switch",
+                         "multiply_relin_rescale", "square_relin_rescale",
+                         "multiply_plain_rescale"):
+                setattr(self, name, jax.jit(getattr(self, name)))
+            self.apply_galois = jax.jit(self.apply_galois, static_argnums=1)
+            self._decompose = jax.jit(self._decompose, static_argnums=1)
+            self._inner_product = jax.jit(self._inner_product, static_argnums=1)
 
     # ------------------------------------------------------------------
     # linear ops
@@ -135,23 +150,29 @@ class Evaluator:
     # key switching: relinearize / rotate / conjugate
     # ------------------------------------------------------------------
 
-    def _keyswitch(self, d: jax.Array, level: int, ksk: KSwitchKey):
-        """Switch poly `d` ([..., ℓ+1, N] Montgomery NTT, multiplying some
-        s') to the base secret.  Returns (p0, p1) Montgomery NTT.
+    def _decompose(self, d: jax.Array, level: int) -> jax.Array:
+        """Key-switch 'hoistable' prefix: digit-decompose poly `d`
+        ([..., ℓ+1, N] Montgomery NTT) into the key basis.
+        Returns standard-form NTT digits [..., J, R, N].
 
-        Hybrid, per-prime digits, single special prime (SURVEY.md §2b
-        'relinearization & Galois key-switching').
-        """
+        Split out so rotations can HOIST it: the decomposition commutes with
+        Galois automorphisms, so one decompose serves many rotation steps
+        (`rotate_hoisted`) — the optimization SURVEY.md §2d targets for the
+        diagonal-matmul rotation hot loop."""
         plan: KeySwitchPlan = self.ctx.keyswitch_plan(level)
-        J = plan.num_digits
         # 1. digits → coefficient domain, standard form (free Mont-strip)
         coeffs = ntt_inv(d, self.ctx.tables(level), strip_mont=True)
         # 2. lift each digit to the key basis {q_0..q_ℓ, P}
         ext = barrett_reduce_u32(coeffs[..., :, None, :], plan.q, plan.mu)
         # 3. forward NTT in the key basis (standard form: R²-form keys make
         #    the inner product land in Montgomery form for free)
-        ext = ntt_fwd(ext, plan.basis_tables)
-        # 4. inner product with the switching key, accumulated over digits
+        return ntt_fwd(ext, plan.basis_tables)
+
+    def _inner_product(self, ext: jax.Array, level: int, ksk: KSwitchKey):
+        """Σ_j digit_j ⊙ ksk_j, then mod-down by P.
+        ext: [..., J, R, N] standard NTT → (p0, p1) Montgomery NTT."""
+        plan: KeySwitchPlan = self.ctx.keyswitch_plan(level)
+        J = plan.num_digits
         k = jnp.concatenate(
             [ksk.data[:J, :, : level + 1], ksk.data[:J, :, -1:]], axis=2)
         ext_j = jnp.moveaxis(ext, -3, 0)              # [J, ..., R, N]
@@ -165,9 +186,47 @@ class Evaluator:
         batch = ext.shape[:-3]
         acc0 = jnp.zeros((*batch, 2, J + 1, ext.shape[-1]), dtype=jnp.uint32)
         acc, _ = jax.lax.scan(body, acc0, (ext_j, k))
-        # 5. divide by P, back to {q_0..q_ℓ}
+        # divide by P, back to {q_0..q_ℓ}
         out = _div_round_last(acc, plan.moddown)
         return out[..., 0, :, :], out[..., 1, :, :]
+
+    def _keyswitch(self, d: jax.Array, level: int, ksk: KSwitchKey):
+        """Switch poly `d` ([..., ℓ+1, N] Montgomery NTT, multiplying some
+        s') to the base secret.  Returns (p0, p1) Montgomery NTT.
+
+        Hybrid, per-prime digits, single special prime (SURVEY.md §2b
+        'relinearization & Galois key-switching').
+        """
+        return self._inner_product(self._decompose(d, level), level, ksk)
+
+    def rotate_hoisted(self, ct: Ciphertext, steps_list,
+                       gk: GaloisKeys) -> list:
+        """Rotate one ciphertext by MANY steps, decomposing c1 only once.
+
+        σ commutes with digit decomposition (digits are coefficient-wise
+        residues; σ permutes coefficients), so σ(digits) = permute the
+        decomposed NTT digits.  Each step then costs one gather + one key
+        inner product — the (ℓ+1)·(ℓ+2) NTT tower is paid once, not per
+        rotation.  This accelerates the reference's hot loops
+        (``he_linalg.cpp:667-713`` sum_elems, ``:977-1003`` matmul).
+        """
+        if ct.num_parts != 2:
+            raise ValueError("rotate_hoisted expects a 2-part ciphertext")
+        n = self.ctx.params.poly_degree
+        q = self.ctx.mont(ct.level)["q"]
+        ext = self._decompose(ct.data[..., 1, :, :], ct.level)
+        outs = []
+        for steps in steps_list:
+            if steps % (n // 2) == 0:
+                outs.append(ct)
+                continue
+            elt = galois.rotation_elt(n, steps)
+            c0 = galois.apply(ct.data[..., 0, :, :], n, elt)
+            p0, p1 = self._inner_product(galois.apply(ext, n, elt),
+                                         ct.level, gk.key_for(elt))
+            d = jnp.stack([mod_add(c0, p0, q), p1], axis=-3)
+            outs.append(Ciphertext(data=d, level=ct.level, scale=ct.scale))
+        return outs
 
     def relinearize(self, ct: Ciphertext, rk: RelinKeys) -> Ciphertext:
         if ct.num_parts != 3:

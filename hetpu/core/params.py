@@ -206,6 +206,10 @@ _PRESETS = {
     "test_tiny": lambda: ckks_params(1 << 10, levels=2, scale_bits=30,
                                      first_prime_bits=31, special_prime_bits=31,
                                      sec_level=0),
+    # deep chain for iterative-math / fft tests
+    "test_deep": lambda: ckks_params(1 << 11, levels=12, scale_bits=30,
+                                     first_prime_bits=31, special_prime_bits=31,
+                                     sec_level=0),
     "test_bfv_tiny": lambda: bfv_params(1 << 10, levels=2, plain_bits=17,
                                         prime_bits=26, first_prime_bits=27,
                                         sec_level=0),

@@ -1,0 +1,153 @@
+"""Matrix-operation demos (reference ``src/demos/matrix_operations.cpp``).
+
+Dispatch parity (reference :1191-1199): op, elemwise_square, matmul,
+batch_matmul_ckks, matpow, sum_elems, least_squares_2d,
+batched_matmul_ckks.  ``--small`` shrinks parameters for quick runs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..linalg import BatchedMatrix, BatchedVector, Matrix
+from ..models.least_squares import least_squares_2d
+from ..session import Session
+from ..utils import Timer
+
+
+def _sess(preset, small, steps):
+    t = Timer()
+    s = Session.create("test_deep" if small else preset, galois_steps=steps)
+    t.toc("keygen+context time")
+    return s
+
+
+def demo_op(small=False):
+    """Single complex multiply (reference :58-138, CKKS N=2^13)."""
+    sess = _sess("ckks_small", small, [1])
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, sess.slots) + 1j * rng.uniform(-1, 1, sess.slots)
+    y = rng.uniform(-1, 1, sess.slots) + 1j * rng.uniform(-1, 1, sess.slots)
+    t = Timer()
+    out = sess.ev.multiply_relin_rescale(sess.encrypt(x), sess.encrypt(y),
+                                         sess.rk)
+    t.toc("HE complex multiply time", block_on=out.data)
+    got = sess.decrypt(out)[:4]
+    print("op1*op2 =", got, "\nexpected =", (x * y)[:4])
+
+
+def demo_elemwise_square(small=False):
+    """Elementwise square (reference :140-209 runs this in BFV with noise
+    budgets; CKKS variant here, exact BFV path pending)."""
+    sess = _sess("ckks_small", small, [1])
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-2, 2, sess.slots)
+    t = Timer()
+    out = sess.ev.square_relin_rescale(sess.encrypt(x), sess.rk)
+    t.toc("HE square time", block_on=out.data)
+    print("x^2 =", sess.decrypt(out).real[:4], "\nexpected =", (x * x)[:4])
+
+
+def demo_matmul(small=False):
+    """Element-per-ct matmul + pow (reference :211-349: transp + A^5)."""
+    sess = _sess("ckks_deep", small, [1])
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-0.7, 0.7, (2, 2))
+    ma = Matrix.encrypt(sess, a)
+    t = Timer()
+    out = ma.matmul_pow(5)
+    t.toc("HE (no batch) matrix multiplication time", block_on=out.ct.data)
+    print("A^5 =\n", out.decrypt().real, "\nexpected =\n",
+          np.linalg.matrix_power(a, 5))
+
+
+def demo_batch_matmul_ckks(small=False):
+    """5×5 × slot_count independent matmuls (reference :495-629)."""
+    sess = _sess("ckks_small", small, [1])
+    rng = np.random.default_rng(0)
+    batch = sess.slots
+    a = rng.uniform(-1, 1, (5, 5, batch))
+    b = rng.uniform(-1, 1, (5, 5, batch))
+    ma, mb = Matrix.encrypt(sess, a), Matrix.encrypt(sess, b)
+    t = Timer()
+    out = ma.matmul(mb)
+    t.toc("HE matrix multiplication time", block_on=out.ct.data)
+    got = out.decrypt_batch(batch).real
+    want = np.einsum("ikb,kjb->ijb", a, b)
+    print(f"batch={batch} max err =", np.abs(got - want).max())
+
+
+def demo_matpow(small=False):
+    """A^5 binary exponentiation (reference :631-743)."""
+    sess = _sess("ckks_deep", small, [1])
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-0.7, 0.7, (2, 2))
+    t = Timer()
+    out = Matrix.encrypt(sess, a).matmul_pow(5)
+    t.toc("HE matrix power time", block_on=out.ct.data)
+    print("A^5 =\n", out.decrypt().real, "\nexpected =\n",
+          np.linalg.matrix_power(a, 5))
+
+
+def demo_sum_elems(small=False):
+    """dim=10 non-power-of-2 reduction (reference :745-831)."""
+    sess = _sess("ckks_small", small, [1, 2, 4, 8])
+    rng = np.random.default_rng(0)
+    dim = 10
+    x = np.zeros(sess.slots)
+    x[:dim] = rng.uniform(-1, 1, dim)
+    bv = BatchedVector(sess, sess.encrypt(x), dim)
+    t = Timer()
+    out = bv.sum_elems()
+    t.toc("HE sum_elems time", block_on=out.ct.data)
+    print("sum =", out.decrypt().real[0], "expected =", x.sum())
+
+
+def demo_least_squares_2d(small=False):
+    """THE flagship pipeline (reference :833-1040, SURVEY §3.1)."""
+    sess = _sess("ckks_deep", small, [1, 2, 4])
+    rng = np.random.default_rng(0)
+    n = 5
+    x = rng.uniform(0.5, 2.0, n)
+    y = 0.7 * x + 0.3 + rng.normal(0, 0.02, n)
+    px, py = np.zeros(sess.slots), np.zeros(sess.slots)
+    px[:n], py[:n] = x, y
+    sx, sxx = x.sum(), (x * x).sum()
+    D = n * sxx - sx * sx
+    t = Timer()
+    ct_a, ct_b = least_squares_2d(sess, sess.encrypt(px), sess.encrypt(py),
+                                  n, inv_guess=1.0 / D,
+                                  inv_iters=4 if small else 6)
+    t.toc("HE least squares time", block_on=ct_a.data)
+    a, b = sess.decrypt(ct_a).real[0], sess.decrypt(ct_b).real[0]
+    sy, sxy = y.sum(), (x * y).sum()
+    print(f"fit: a={a:.4f} b={b:.4f}")
+    print(f"expected: a={(n*sxy-sx*sy)/D:.4f} b={(sxx*sy-sx*sxy)/D:.4f}")
+
+
+def demo_batched_matmul_ckks(small=False):
+    """64×64 diagonal-method matmul (reference :1042-1175) — the rotation
+    hot loop, with hoisted decomposition."""
+    d = 8 if small else 64
+    sess = _sess("ckks_small", small, list(range(1, d)))
+    rng = np.random.default_rng(0)
+    a = rng.uniform(-1, 1, (d, d))
+    b = rng.uniform(-1, 1, (d, d))
+    ma = BatchedMatrix.encrypt(sess, a, layout="diag")
+    mb = BatchedMatrix.encrypt(sess, b, layout="col")
+    t = Timer()
+    out = ma.matmul(mb)
+    t.toc("HE matrix multiplication time", block_on=out.ct.data)
+    print(f"{d}x{d} max err =", np.abs(out.decrypt().real - a @ b).max())
+
+
+DEMOS = {
+    "op": demo_op,
+    "elemwise_square": demo_elemwise_square,
+    "matmul": demo_matmul,
+    "batch_matmul_ckks": demo_batch_matmul_ckks,
+    "matpow": demo_matpow,
+    "sum_elems": demo_sum_elems,
+    "least_squares_2d": demo_least_squares_2d,
+    "batched_matmul_ckks": demo_batched_matmul_ckks,
+}

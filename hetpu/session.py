@@ -1,0 +1,107 @@
+"""Session: the user-facing bundle of context + keys + engines.
+
+The reference threads ``(Evaluator, RelinKeys, GaloisKeys, Encoder)``
+through every call via the `%`-currying DSL (``he_operators.h:22-39``).
+The TPU-native equivalent is one object holding them all, passed to the
+linalg/math/fft layers.  It also centralizes scale/level alignment — the
+reference's manual ``he::util`` chain juggling (``he_util.h``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dfield
+
+import numpy as np
+
+from .core.ciphertext import Ciphertext, Plaintext
+from .core.context import Context
+from .core.encoding import CkksEncoder
+from .core.encrypt import Decryptor, Encryptor
+from .core.evaluator import Evaluator
+from .core.keys import GaloisKeys, KeyGenerator, PublicKey, RelinKeys, SecretKey
+from .core.params import HeParams, preset
+
+
+@dataclass
+class Session:
+    ctx: Context
+    encoder: CkksEncoder
+    ev: Evaluator
+    rk: RelinKeys | None = None
+    gk: GaloisKeys | None = None
+    encryptor: Encryptor | None = None
+    decryptor: Decryptor | None = None
+
+    # -- construction ---------------------------------------------------
+    @classmethod
+    def create(cls, params: HeParams | str, *, seed: bytes | None = None,
+               galois_steps=None, with_secret: bool = True) -> "Session":
+        if isinstance(params, str):
+            params = preset(params)
+        ctx = Context(params)
+        kg = KeyGenerator(ctx, seed=seed)
+        pk = kg.create_public_key()
+        rk = kg.create_relin_keys()
+        gk = kg.create_galois_keys(galois_steps)
+        return cls(
+            ctx=ctx, encoder=CkksEncoder(ctx), ev=Evaluator(ctx), rk=rk, gk=gk,
+            encryptor=Encryptor(ctx, public_key=pk, secret_key=kg.secret),
+            decryptor=Decryptor(ctx, kg.secret) if with_secret else None,
+        )
+
+    @classmethod
+    def from_wire(cls, params: HeParams, rk: RelinKeys | None = None,
+                  gk: GaloisKeys | None = None) -> "Session":
+        """Evaluator-side session built from received parameters and
+        evaluation keys — NO secret material (the reference server builds
+        its SEALContext from the wire, ``server.cpp:110-113``, and holds no
+        Decryptor anywhere)."""
+        ctx = Context(params)
+        return cls(ctx=ctx, encoder=CkksEncoder(ctx), ev=Evaluator(ctx),
+                   rk=rk, gk=gk)
+
+    @property
+    def slots(self) -> int:
+        return self.encoder.slot_count
+
+    # -- encode / encrypt / decrypt ------------------------------------
+    def encode(self, values, level=None, scale=None) -> Plaintext:
+        return self.encoder.encode(values, level, scale)
+
+    def encrypt(self, values, level=None, scale=None) -> Ciphertext:
+        return self.encryptor.encrypt(self.encode(values, level, scale))
+
+    def decrypt(self, ct: Ciphertext) -> np.ndarray:
+        return self.decryptor.decrypt(ct)
+
+    def const_like(self, ct: Ciphertext, values) -> Plaintext:
+        """Encode at ct's exact level+scale (for exact additive alignment)."""
+        return self.encode(values, level=ct.level, scale=ct.scale)
+
+    # -- level / scale management (he::util parity) --------------------
+    def chain_index(self, ct: Ciphertext) -> int:
+        """Reference ``he::util::get_chain_index`` (he_util.h:13-21)."""
+        return ct.level
+
+    def drop_level(self, ct: Ciphertext) -> Ciphertext:
+        """Burn one level, EXACTLY preserving scale: multiply by 1 encoded
+        at scale q_ℓ, then rescale (scale·q_ℓ/q_ℓ = scale).  The
+        scale-preserving version of the reference's drop_chain_levels
+        (``he_util.h:27-55``, multiply-by-1 + rescale)."""
+        q_last = float(self.ctx.params.moduli[ct.level])
+        one = self.encode(1.0, level=ct.level, scale=q_last)
+        return self.ev.rescale(self.ev.multiply_plain(ct, one))
+
+    def reach_level(self, ct: Ciphertext, target: int) -> Ciphertext:
+        """Reference ``he::util::reach_chain_level`` (he_util.h:57-77)."""
+        while ct.level > target:
+            ct = self.drop_level(ct)
+        return ct
+
+    def align(self, a: Ciphertext, b: Ciphertext):
+        """Bring two cts to a common level for add/sub."""
+        if a.level > b.level:
+            a = self.reach_level(a, b.level)
+        elif b.level > a.level:
+            b = self.reach_level(b, a.level)
+        return a, b

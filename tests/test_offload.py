@@ -1,0 +1,109 @@
+"""Client/server offload protocol through an in-process transport pair —
+the reference's ``client_server_rookie.cpp`` harness as tests, plus
+serialization roundtrips.  Trust boundary asserted: the server session
+cannot decrypt."""
+
+import threading
+
+import numpy as np
+import pytest
+
+from hetpu.core import serial
+from hetpu.offload.client import Client
+from hetpu.offload.server import serve_once
+from hetpu.runtime import native
+from hetpu.session import Session
+
+SEED = b"\x05" * 32
+
+
+@pytest.fixture(scope="module")
+def client():
+    return Client("test_tiny", seed=SEED, galois_steps=[1])
+
+
+def _offload(client, fn):
+    """Run one request/reply across a socketpair, server in a thread."""
+    ta, tb = native.pipe_pair()
+    err = []
+
+    def srv():
+        try:
+            serve_once(tb)
+        except Exception as e:          # surface server-side errors
+            err.append(e)
+
+    th = threading.Thread(target=srv)
+    th.start()
+    try:
+        out = fn(ta)
+    finally:
+        th.join(timeout=300)
+        ta.close()
+        tb.close()
+    if err:
+        raise err[0]
+    return out
+
+
+def test_serial_roundtrips(client, rng):
+    sess = client.sess
+    p = sess.ctx.params
+    assert serial.load_params(serial.dump_params(p)) == p
+    x = rng.uniform(-1, 1, sess.slots)
+    ct = sess.encrypt(x)
+    back = serial.load_ciphertext(serial.dump_ciphertext(ct), sess.ctx)
+    assert back.level == ct.level and back.scale == ct.scale
+    np.testing.assert_array_equal(np.asarray(back.data), np.asarray(ct.data))
+    rk2 = serial.load_relin_keys(serial.dump_relin_keys(sess.rk))
+    np.testing.assert_array_equal(np.asarray(rk2.key.data),
+                                  np.asarray(sess.rk.key.data))
+    gk2 = serial.load_galois_keys(serial.dump_galois_keys(sess.gk))
+    assert gk2.elts == sess.gk.elts
+
+
+def test_seeded_ciphertext_roundtrip(client, rng):
+    """Symmetric seeded ct: half wire size, exact reconstruction
+    (reference encrypt_symmetric wire trick)."""
+    sess = client.sess
+    x = rng.uniform(-1, 1, sess.slots)
+    from hetpu.core import random as rnd
+    seed = rnd.new_seed()
+    ct = sess.encryptor.encrypt_symmetric(sess.encode(x), seed=seed)
+    full = serial.dump_ciphertext(ct)
+    compact = serial.dump_ciphertext(ct, seed=seed)
+    assert len(compact) < 0.6 * len(full)
+    back = serial.load_ciphertext(compact, sess.ctx)
+    np.testing.assert_array_equal(np.asarray(back.data), np.asarray(ct.data))
+    np.testing.assert_allclose(sess.decrypt(back), x, atol=1e-4)
+
+
+def test_server_is_blind(client):
+    """The wire-built session holds no secret material."""
+    sess = Session.from_wire(client.sess.ctx.params, rk=client.sess.rk)
+    assert sess.decryptor is None and sess.encryptor is None
+
+
+def test_offload_simple(client, rng):
+    x1 = rng.uniform(-1, 1, client.sess.slots)
+    x2 = rng.uniform(-1, 1, client.sess.slots)
+    got = _offload(client, lambda t: client.simple(t, x1, x2))
+    np.testing.assert_allclose(got.real, x1 * x2, atol=1e-3)
+
+
+def test_offload_batch_matmul(client, rng):
+    """5×5 slot-batched matmul over the wire (client.cpp:173-319)."""
+    batch = 8
+    a = rng.uniform(-1, 1, (2, 3, batch))
+    b = rng.uniform(-1, 1, (3, 2, batch))
+    got = _offload(client, lambda t: client.batch_matmul(t, a, b))
+    want = np.einsum("ikb,kjb->ijb", a, b)
+    np.testing.assert_allclose(got[:, :, :batch].real, want, atol=1e-2)
+
+
+def test_offload_math_roundtrip():
+    """inv over the wire needs a deeper chain."""
+    deep = Client("test_deep", seed=SEED, galois_steps=[1])
+    x = np.random.default_rng(1).uniform(0.5, 1.5, deep.sess.slots)
+    got = _offload(deep, lambda t: deep.inv(t, x, 0.8, 5))
+    np.testing.assert_allclose(got.real, 1 / x, rtol=5e-3)
