@@ -19,9 +19,9 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
-    from hetpu.session import Session
+    from hetpu.utils.keycache import cached_session
 
-    sess = Session.create("bench_n14", seed=b"\x21" * 32, galois_steps=[1])
+    sess = cached_session("bench_n14", seed=b"\x21" * 32, galois_steps=[1])
     rng = np.random.default_rng(0)
 
     BATCH = 8          # amortize dispatch; ops counted per ciphertext pair

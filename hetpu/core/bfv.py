@@ -38,7 +38,7 @@ from .modular import (
     mod_add, mod_neg, mod_sub, mont_mul, shoup_mul, shoup_precompute,
     mont_constants,
 )
-from .ntt import NttTables, build_tables, ntt_fwd, ntt_fwd_mont, ntt_inv
+from .ntt import NttTables, build_best_tables, build_tables, ntt_fwd, ntt_fwd_mont, ntt_inv
 from .params import HeParams, Scheme
 
 
@@ -135,7 +135,7 @@ class BfvScheme:
         cand = nt.gen_primes(30, L + 2 + len(used) + 4, 2 * n)
         B_primes = [q for q in cand if q not in used][: L + 2]
         self.B_primes = B_primes
-        self.tables_B = build_tables(n, B_primes)
+        self.tables_B = build_best_tables(n, B_primes)
         self.mont_B = mont_constants(B_primes)
         self.tables_t = build_tables(n, (self.t,))
         # Δ = floor(Q/t) mod q_i

@@ -20,7 +20,7 @@ import numpy as np
 
 from . import nt
 from .modular import mont_constants, shoup_precompute
-from .ntt import NttTables, build_tables
+from .ntt import NttTables, build_best_tables, build_tables
 from .params import HeParams, Scheme
 
 
@@ -75,7 +75,7 @@ class Context:
         self.num_data = len(params.moduli)
         self.num_special = len(params.special_moduli)
         # one full table set over data + special primes; levels slice it
-        self.tables_full = build_tables(n, self.all_primes)
+        self.tables_full = build_best_tables(n, self.all_primes)
         self.mont_full = mont_constants(self.all_primes)
 
     # ------------------------------------------------------------------

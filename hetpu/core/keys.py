@@ -72,77 +72,99 @@ class GaloisKeys:
 
 
 class KeyGenerator:
-    """Samples a fresh secret on construction (like seal::KeyGenerator)."""
+    """Samples a fresh secret on construction (like seal::KeyGenerator).
+
+    All device math is batched into ONE jitted call per key: host-side
+    numpy sampling feeds [J, L, N] tensors to a compiled kernel — no
+    per-digit eager dispatch (critical over a remote-device transport,
+    where each eager op pays round-trip latency)."""
 
     def __init__(self, ctx: Context, seed: bytes | None = None):
         self.ctx = ctx
         self.seed = seed if seed is not None else rnd.new_seed()
         self._domain = 0
         n = ctx.params.poly_degree
-        q_all = ctx.tables_full.q
+        tabs = ctx.tables_full
+        self._qinv_full = np.array(
+            [((1 << 32) - pow(int(p), -1, 1 << 32)) % (1 << 32)
+             for p in tabs.primes], dtype=np.uint32).reshape(-1, 1)
         s = rnd.ternary(self.seed, self._next_domain(), n)
-        s_rns = rnd.signed_to_rns(s, q_all)
+        s_rns = rnd.signed_to_rns(s, tabs.q)
         self.secret = SecretKey(
-            data=ntt_fwd_mont(jnp.asarray(s_rns), ctx.tables_full),
+            data=jax.jit(lambda x: ntt_fwd_mont(x, tabs))(jnp.asarray(s_rns)),
             seed=self.seed,
         )
+        J = ctx.num_data
+        P = ctx.all_primes[-1]
+        self._delta = np.array([P % ctx.all_primes[j] for j in range(J)],
+                               dtype=np.uint32).reshape(J, 1)
+        self._delta_shoup = np.array(
+            [(int(P % ctx.all_primes[j]) << 32) // ctx.all_primes[j]
+             for j in range(J)], dtype=np.uint32).reshape(J, 1)
+
+        def ksk_kernel(a, e_rns, s_prime):
+            """a, e_rns: [J, L_tot, N]; s_prime: [L_tot, N] Montgomery NTT
+            → [J, 2, L_tot, N] R²-form switching key."""
+            e_m = ntt_fwd_mont(e_rns, tabs)
+            b = mod_neg(mod_add(mont_mul(a, self.secret.data, tabs.q,
+                                         self._qinv_full), e_m, tabs.q),
+                        tabs.q)
+            jj = jnp.arange(J)
+            qj = tabs.q[:J]
+            term = shoup_mul(s_prime[:J], self._delta, self._delta_shoup, qj)
+            b = b.at[jj, jj].set(mod_add(b[jj, jj], term, qj[:, 0, None]))
+            k = jnp.stack([b, a], axis=1)
+            return shoup_mul(k, tabs.r, tabs.r_shoup, tabs.q)
+
+        self._ksk_jit = jax.jit(ksk_kernel)
+
+        def pk_kernel(a, e_rns, s_data):
+            dtabs = tabs.slice(np.arange(ctx.num_data))
+            e_m = ntt_fwd_mont(e_rns, dtabs)
+            b = mod_neg(mod_add(mont_mul(a, s_data, dtabs.q,
+                                         self._qinv_full[: ctx.num_data]),
+                                e_m, dtabs.q), dtabs.q)
+            return jnp.stack([b, a])
+
+        self._pk_jit = jax.jit(pk_kernel)
+        self._s2_jit = jax.jit(lambda s: mont_mul(s, s, tabs.q, self._qinv_full))
 
     def _next_domain(self) -> int:
         self._domain += 1
         return self._domain
 
     # ------------------------------------------------------------------
-    def _rlwe_pair(self, primes_idx: np.ndarray, s_data: jax.Array):
-        """Fresh (b, a) with b = -(a·s + e) over the selected prime subset.
-        Returns Montgomery-NTT arrays [L_sel, N]."""
-        ctx = self.ctx
-        n = ctx.params.poly_degree
-        tabs = ctx.tables_full.slice(primes_idx)
-        a = jnp.asarray(rnd.uniform_rns(self.seed, self._next_domain(), tabs.q, n))
-        e = rnd.signed_to_rns(rnd.gaussian(self.seed, self._next_domain(), n), tabs.q)
-        e_m = ntt_fwd_mont(jnp.asarray(e), tabs)
-        q = tabs.q
-        qinv = np.array(
-            [((1 << 32) - pow(int(p), -1, 1 << 32)) % (1 << 32) for p in tabs.primes],
-            dtype=np.uint32,
-        ).reshape(-1, 1)
-        b = mod_neg(mod_add(mont_mul(a, s_data, q, qinv), e_m, q), q)
-        return b, a
-
     def create_public_key(self) -> PublicKey:
         ctx = self.ctx
-        idx = np.arange(ctx.num_data)
-        b, a = self._rlwe_pair(idx, self.secret.data[: ctx.num_data])
-        return PublicKey(data=jnp.stack([b, a]))
+        n = ctx.params.poly_degree
+        q = ctx.tables_full.q[: ctx.num_data]
+        a = rnd.uniform_rns(self.seed, self._next_domain(), q, n)
+        e = rnd.signed_to_rns(rnd.gaussian(self.seed, self._next_domain(), n), q)
+        return PublicKey(data=self._pk_jit(
+            jnp.asarray(a), jnp.asarray(e),
+            self.secret.data[: ctx.num_data]))
 
     # ------------------------------------------------------------------
+    def _sample_jln(self):
+        """[J, L_tot, N] uniform + noise tensors from the seeded stream."""
+        ctx = self.ctx
+        n = ctx.params.poly_degree
+        q = ctx.tables_full.q
+        J = ctx.num_data
+        a = np.stack([rnd.uniform_rns(self.seed, self._next_domain(), q, n)
+                      for _ in range(J)])
+        e = np.stack([rnd.signed_to_rns(
+            rnd.gaussian(self.seed, self._next_domain(), n), q)
+            for _ in range(J)])
+        return jnp.asarray(a), jnp.asarray(e)
+
     def _kswitch_key(self, s_prime: jax.Array) -> KSwitchKey:
         """Switching key for s' → s.  s_prime: [L_tot, N] Montgomery NTT."""
-        ctx = self.ctx
-        idx_all = np.arange(len(ctx.all_primes))
-        tabs = ctx.tables_full
-        P = ctx.all_primes[-1]
-        rows = []
-        for j in range(ctx.num_data):
-            b, a = self._rlwe_pair(idx_all, self.secret.data)
-            qj = ctx.all_primes[j]
-            delta = np.uint32(P % qj)
-            delta_shoup = np.uint32((int(delta) << 32) // qj)
-            term = shoup_mul(s_prime[j], delta, delta_shoup, np.uint32(qj))
-            b = b.at[j].set(mod_add(b[j], term, np.uint32(qj)))
-            rows.append(jnp.stack([b, a]))
-        k = jnp.stack(rows)                            # [J, 2, L_tot, N] Montgomery
-        # → R²-form: one extra Shoup multiply by R (precomputed, one-time)
-        return KSwitchKey(data=shoup_mul(k, tabs.r, tabs.r_shoup, tabs.q))
+        a, e = self._sample_jln()
+        return KSwitchKey(data=self._ksk_jit(a, e, s_prime))
 
     def create_relin_keys(self) -> RelinKeys:
-        ctx = self.ctx
-        c = {"q": ctx.tables_full.q,
-             "qinv_neg": np.array(
-                 [((1 << 32) - pow(int(p), -1, 1 << 32)) % (1 << 32)
-                  for p in ctx.all_primes], dtype=np.uint32).reshape(-1, 1)}
-        s2 = mont_mul(self.secret.data, self.secret.data, c["q"], c["qinv_neg"])
-        return RelinKeys(key=self._kswitch_key(s2))
+        return RelinKeys(key=self._kswitch_key(self._s2_jit(self.secret.data)))
 
     def create_galois_keys(self, steps=None) -> GaloisKeys:
         """Keys for slot rotations.  Default: ± all powers of two (SEAL's

@@ -130,9 +130,22 @@ def build_tables(n: int, primes) -> NttTables:
 # Forward / inverse transforms
 # ----------------------------------------------------------------------
 
-def ntt_fwd(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
+def build_best_tables(n: int, primes):
+    """Flat tables for small N; four-step (TPU-shaped) for N ≥ 4096.
+    Both produce identical transforms — ntt_fwd/ntt_inv dispatch on the
+    table type."""
+    if n >= 4096:
+        from . import ntt4
+        return ntt4.build_tables(n, primes)
+    return build_tables(n, primes)
+
+
+def ntt_fwd(a: jnp.ndarray, t) -> jnp.ndarray:
     """Negacyclic forward NTT. a: uint32 [..., L, N] (natural coeff order)
     → [..., L, N] evaluations in bit-reversed order."""
+    if hasattr(t, "sub1"):
+        from . import ntt4
+        return ntt4.ntt_fwd(a, t)
     n = t.n
     L = len(t.primes)
     lead = a.shape[:-2]
@@ -159,11 +172,14 @@ def ntt_fwd_mont(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
     return shoup_mul(ntt_fwd(a, t), t.r, t.r_shoup, t.q)
 
 
-def ntt_inv(a: jnp.ndarray, t: NttTables, *, strip_mont: bool = False) -> jnp.ndarray:
+def ntt_inv(a: jnp.ndarray, t, *, strip_mont: bool = False) -> jnp.ndarray:
     """Negacyclic inverse NTT. Bit-reversed evaluations → natural coeffs,
     including the final N^{-1} scaling.  With ``strip_mont`` the input is
     Montgomery-form and the output standard-form (N⁻¹R⁻¹ folded into the
     final constant — the conversion is free)."""
+    if hasattr(t, "sub1"):
+        from . import ntt4
+        return ntt4.ntt_inv(a, t, strip_mont=strip_mont)
     n = t.n
     L = len(t.primes)
     lead = a.shape[:-2]
