@@ -46,71 +46,7 @@ def _col(xs, dt=np.uint32):
     return np.array(xs, dtype=dt).reshape(-1, 1)
 
 
-# ======================================================================
-# Exact fast base conversion (centered, float64 α-correction)
-# ======================================================================
-
-@dataclass(frozen=True)
-class FbcPlan:
-    """Convert RNS residues over basis P to residues over basis R, for
-    values centered in (-P/2, P/2)."""
-    inv_punit: np.ndarray        # [(P/p_i)^{-1} mod p_i]          [Lp, 1]
-    inv_punit_shoup: np.ndarray
-    p: np.ndarray                # source primes                    [Lp, 1]
-    p_recip: np.ndarray          # 1/p_i float64                    [Lp, 1]
-    phat_mod_r: np.ndarray       # (P/p_i) mod r_j                  [Lp, Lr]
-    phat_shoup: np.ndarray
-    ptot_mod_r: np.ndarray       # P mod r_j                        [Lr, 1]
-    ptot_shoup: np.ndarray
-    r: np.ndarray                # target primes                    [Lr, 1]
-
-
-def make_fbc(src_primes, dst_primes) -> FbcPlan:
-    P = 1
-    for p in src_primes:
-        P *= p
-    inv_punit = [nt.modinv((P // p) % p, p) for p in src_primes]
-    phat = np.array([[(P // p) % r for r in dst_primes] for p in src_primes],
-                    dtype=np.uint32)
-    rcol = _col(dst_primes)
-    return FbcPlan(
-        inv_punit=_col(inv_punit),
-        inv_punit_shoup=shoup_precompute(_col(inv_punit), _col(src_primes)),
-        p=_col(src_primes),
-        p_recip=(1.0 / _col(src_primes).astype(np.float64)),
-        phat_mod_r=phat,
-        phat_shoup=np.stack([shoup_precompute(phat[:, j:j + 1], rcol[j:j + 1])
-                             [:, 0] for j in range(len(dst_primes))], axis=1),
-        ptot_mod_r=_col([P % r for r in dst_primes]),
-        ptot_shoup=shoup_precompute(_col([P % r for r in dst_primes]), rcol),
-        r=rcol,
-    )
-
-
-def fbc_apply(x: jax.Array, plan: FbcPlan) -> jax.Array:
-    """x: [..., Lp, N] standard-form residues of centered values →
-    [..., Lr, N] residues over the target basis."""
-    y = shoup_mul(x, plan.inv_punit, plan.inv_punit_shoup, plan.p)
-    # α = round(Σ y_i / p_i), float32.  A misround (prob ~1e-6 near the
-    # ±P/2 boundary) shifts the result by ±P, which in every BFV-mult use
-    # is either absorbed as one extra unit of rounding noise (operand
-    # lift, |u|_Q remainder) or impossible (final B→Q: |y|/B ≪ 2^-29, the
-    # fraction can't be near 1/2) — message bits are never at risk.
-    alpha = jnp.round(jnp.sum(y.astype(jnp.float32) *
-                              plan.p_recip.astype(np.float32),
-                              axis=-2, keepdims=True)).astype(jnp.uint32)
-    Lr = plan.r.shape[0]
-    outs = []
-    for j in range(Lr):
-        r = plan.r[j:j + 1]
-        acc = jnp.zeros_like(y[..., :1, :])
-        for i in range(plan.p.shape[0]):
-            term = shoup_mul(y[..., i:i + 1, :], plan.phat_mod_r[i, j],
-                             plan.phat_shoup[i, j], r)
-            acc = mod_add(acc, term, r)
-        corr = shoup_mul(alpha, plan.ptot_mod_r[j], plan.ptot_shoup[j], r)
-        outs.append(mod_sub(acc, corr, r))
-    return jnp.concatenate(outs, axis=-2)
+from .rns import FbcPlan, fbc_apply, make_fbc  # shared RNS machinery
 
 
 # ======================================================================

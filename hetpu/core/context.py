@@ -44,23 +44,45 @@ class RescalePlan:
 
 
 @dataclass(frozen=True)
-class KeySwitchPlan:
-    """Constants for hybrid key-switching at a given level ℓ.
+class ModDownPlan:
+    """Divide a key-basis accumulator by P = ∏ special primes, back to the
+    active data basis: INTT the k special limbs, centered-FBC them to each
+    q_i, subtract, multiply by P^{-1} (one α-misround = ±1 rounding noise)."""
 
-    Digits are per-prime (SEAL's RNS decomposition): digit j of d is
-    d mod q_j, lifted to the key basis {q_0..q_ℓ, P}.  The switching key's
-    b-component carries (P mod q_j)·s' on limb j only, making the keys
-    level-independent (same trick as SEAL ``util/rlwe.cpp``).
+    src_tables: NttTables        # the k special primes
+    dst_tables: NttTables        # active data primes
+    fbc: object                  # rns.FbcPlan  specials → data
+    p_inv: np.ndarray            # [ℓ+1,1]  P^{-1} mod q_i
+    p_inv_shoup: np.ndarray
+
+
+@dataclass(frozen=True)
+class KeySwitchPlan:
+    """Constants for generalized hybrid key-switching at level ℓ with
+    digit size α = #special primes (dnum trade-off).
+
+    Digits partition the active primes into groups of α; digit j of d is
+    its lift from basis D_j = {q_{jα}..}, carried to the key basis
+    {q_0..q_ℓ} ∪ specials via a per-digit fast base conversion.  The
+    switching key's b-component carries (P mod q_i)·s' exactly on digit
+    j's limbs (P ≡ 0 on special limbs automatically) — keys stay
+    level-independent because Q_ℓ | Q (SEAL's trick generalized; α=1
+    reduces to SEAL's per-prime decomposition).
     """
 
     level: int
-    num_digits: int              # ℓ+1
-    basis_index: np.ndarray      # indices into the full key basis, len ℓ+2
-    basis_tables: NttTables      # key basis {q_0..q_ℓ, P}   [ℓ+2, N]
-    mu: np.ndarray               # [ℓ+2,1] Barrett floor(2^32/r)
-    q: np.ndarray                # [ℓ+2,1]
-    qinv_neg: np.ndarray         # [ℓ+2,1] Montgomery -q^{-1} mod 2^32
-    moddown: RescalePlan         # divide by P back to {q_0..q_ℓ}
+    alpha: int
+    num_digits: int              # ceil((ℓ+1)/α)
+    digit_bounds: tuple          # ((start, stop), ...) within active primes
+    basis_tables: NttTables      # key basis {q_0..q_ℓ, specials}   [R, N]
+    q: np.ndarray                # [R,1]
+    qinv_neg: np.ndarray         # [R,1] Montgomery -q^{-1} mod 2^32
+    # per-source-prime digit-lift constants (digit-local ĥat inverses):
+    dig_inv: np.ndarray          # [ℓ+1,1]  (D_j/q_i)^{-1} mod q_i
+    dig_inv_shoup: np.ndarray
+    dhat: np.ndarray             # [ℓ+1,R]  (D_j/q_i) mod r
+    dhat_shoup: np.ndarray
+    moddown: ModDownPlan
 
 
 class Context:
@@ -119,28 +141,62 @@ class Context:
 
     @lru_cache(maxsize=None)
     def keyswitch_plan(self, level: int) -> KeySwitchPlan:
-        """Hybrid key-switch constants at level ℓ (single special prime)."""
-        if self.num_special != 1:
-            raise NotImplementedError("key-switching assumes one special prime")
-        p_idx = len(self.all_primes) - 1
-        p = self.all_primes[p_idx]
-        basis_index = np.concatenate([np.arange(level + 1), [p_idx]])
-        basis_primes = [self.all_primes[i] for i in basis_index]
-        moddown = self._make_rescale(
-            src_idx=p_idx,
-            dst_idx=np.arange(level + 1),
-            src_prime=p,
-            dst_primes=self.params.moduli[: level + 1],
+        """Generalized hybrid key-switch constants at level ℓ."""
+        from . import rns
+        alpha = self.num_special
+        k = self.num_special
+        n_data = level + 1
+        J = -(-n_data // alpha)
+        active = list(self.params.moduli[: n_data])
+        specials = list(self.params.special_moduli)
+        basis_index = np.concatenate(
+            [np.arange(n_data),
+             np.arange(self.num_data, self.num_data + k)])
+        basis_primes = active + specials
+        R = len(basis_primes)
+        bounds = tuple((j * alpha, min((j + 1) * alpha, n_data))
+                       for j in range(J))
+        # per-digit lift constants
+        dig_inv = np.zeros((n_data, 1), dtype=np.uint32)
+        dhat = np.zeros((n_data, R), dtype=np.uint32)
+        for (lo, hi) in bounds:
+            D = 1
+            for i in range(lo, hi):
+                D *= active[i]
+            for i in range(lo, hi):
+                qi = active[i]
+                dig_inv[i, 0] = nt.modinv((D // qi) % qi, qi)
+                for rj, r in enumerate(basis_primes):
+                    dhat[i, rj] = (D // qi) % r
+        dhat_shoup = np.zeros_like(dhat)
+        for rj, r in enumerate(basis_primes):
+            dhat_shoup[:, rj] = ((dhat[:, rj].astype(np.uint64) << np.uint64(32))
+                                 // np.uint64(r)).astype(np.uint32)
+        P = 1
+        for p in specials:
+            P *= p
+        moddown = ModDownPlan(
+            src_tables=self.tables_full.slice(
+                np.arange(self.num_data, self.num_data + k)),
+            dst_tables=self.tables_full.slice(np.arange(n_data)),
+            fbc=rns.make_fbc(specials, active),
+            p_inv=_col([nt.modinv(P % q, q) for q in active]),
+            p_inv_shoup=shoup_precompute(
+                _col([nt.modinv(P % q, q) for q in active]), _col(active)),
         )
         return KeySwitchPlan(
             level=level,
-            num_digits=level + 1,
-            basis_index=basis_index,
+            alpha=alpha,
+            num_digits=J,
+            digit_bounds=bounds,
             basis_tables=self.tables_full.slice(basis_index),
-            mu=_col([(1 << 32) // r for r in basis_primes]),
             q=_col(basis_primes),
             qinv_neg=_col([((1 << 32) - nt.modinv(r, 1 << 32)) % (1 << 32)
                            for r in basis_primes]),
+            dig_inv=dig_inv,
+            dig_inv_shoup=shoup_precompute(dig_inv, _col(active)),
+            dhat=dhat,
+            dhat_shoup=dhat_shoup,
             moddown=moddown,
         )
 

@@ -155,26 +155,41 @@ class Evaluator:
         ([..., ℓ+1, N] Montgomery NTT) into the key basis.
         Returns standard-form NTT digits [..., J, R, N].
 
+        Generalized hybrid (dnum): digits cover α = #special primes each,
+        lifted by a per-digit fast base conversion (uncorrected — the u·D
+        excess is the standard noise the special primes absorb).
+
         Split out so rotations can HOIST it: the decomposition commutes with
         Galois automorphisms, so one decompose serves many rotation steps
         (`rotate_hoisted`) — the optimization SURVEY.md §2d targets for the
         diagonal-matmul rotation hot loop."""
         plan: KeySwitchPlan = self.ctx.keyswitch_plan(level)
+        tabs = self.ctx.tables(level)
         # 1. digits → coefficient domain, standard form (free Mont-strip)
-        coeffs = ntt_inv(d, self.ctx.tables(level), strip_mont=True)
-        # 2. lift each digit to the key basis {q_0..q_ℓ, P}
-        ext = barrett_reduce_u32(coeffs[..., :, None, :], plan.q, plan.mu)
+        coeffs = ntt_inv(d, tabs, strip_mont=True)
+        # 2. digit-local ĥat-inverse, then lift to the key basis
+        y = shoup_mul(coeffs, plan.dig_inv, plan.dig_inv_shoup, tabs.q)
+        exts = []
+        for (lo, hi) in plan.digit_bounds:
+            acc = None
+            for i in range(lo, hi):
+                term = shoup_mul(y[..., i: i + 1, :], plan.dhat[i][:, None],
+                                 plan.dhat_shoup[i][:, None], plan.q)
+                acc = term if acc is None else mod_add(acc, term, plan.q)
+            exts.append(acc)
+        ext = jnp.stack(exts, axis=-3)                 # [..., J, R, N]
         # 3. forward NTT in the key basis (standard form: R²-form keys make
         #    the inner product land in Montgomery form for free)
         return ntt_fwd(ext, plan.basis_tables)
 
     def _inner_product(self, ext: jax.Array, level: int, ksk: KSwitchKey):
-        """Σ_j digit_j ⊙ ksk_j, then mod-down by P.
+        """Σ_j digit_j ⊙ ksk_j, then mod-down by P = ∏ specials.
         ext: [..., J, R, N] standard NTT → (p0, p1) Montgomery NTT."""
         plan: KeySwitchPlan = self.ctx.keyswitch_plan(level)
         J = plan.num_digits
+        nd = self.ctx.num_data
         k = jnp.concatenate(
-            [ksk.data[:J, :, : level + 1], ksk.data[:J, :, -1:]], axis=2)
+            [ksk.data[:J, :, : level + 1], ksk.data[:J, :, nd:]], axis=2)
         ext_j = jnp.moveaxis(ext, -3, 0)              # [J, ..., R, N]
         q, qn = plan.q, plan.qinv_neg
 
@@ -184,10 +199,11 @@ class Evaluator:
             return mod_add(acc, prod, q), None
 
         batch = ext.shape[:-3]
-        acc0 = jnp.zeros((*batch, 2, J + 1, ext.shape[-1]), dtype=jnp.uint32)
+        acc0 = jnp.zeros((*batch, 2, ext.shape[-2], ext.shape[-1]),
+                         dtype=jnp.uint32)
         acc, _ = jax.lax.scan(body, acc0, (ext_j, k))
         # divide by P, back to {q_0..q_ℓ}
-        out = _div_round_last(acc, plan.moddown)
+        out = _mod_down(acc, plan.moddown, self.ctx.num_special)
         return out[..., 0, :, :], out[..., 1, :, :]
 
     def _keyswitch(self, d: jax.Array, level: int, ksk: KSwitchKey):
@@ -316,6 +332,21 @@ class Evaluator:
 
     def multiply_plain_rescale(self, ct, pt: Plaintext) -> Ciphertext:
         return self.rescale(self.multiply_plain(ct, pt))
+
+
+def _mod_down(acc: jax.Array, md, k: int) -> jax.Array:
+    """Divide a key-basis accumulator [..., parts, n_data+k, N] (Montgomery
+    NTT) by P = ∏ of the k special primes, landing on the data basis:
+    centered FBC of the special limbs + subtract + ×P^{-1}.  One α-misround
+    = ±1 of rounding noise (see rns.fbc_apply)."""
+    from . import rns
+    sp = acc[..., -k:, :]
+    rest = acc[..., :-k, :]
+    u = ntt_inv(sp, md.src_tables, strip_mont=True)
+    r_q = rns.fbc_apply(u, md.fbc, correct=True)
+    r_m = ntt_fwd_mont(r_q, md.dst_tables)
+    return shoup_mul(mod_sub(rest, r_m, md.dst_tables.q),
+                     md.p_inv, md.p_inv_shoup, md.dst_tables.q)
 
 
 def _div_round_last(data: jax.Array, plan: RescalePlan) -> jax.Array:

@@ -94,13 +94,24 @@ class KeyGenerator:
             data=jax.jit(lambda x: ntt_fwd_mont(x, tabs))(jnp.asarray(s_rns)),
             seed=self.seed,
         )
-        J = ctx.num_data
-        P = ctx.all_primes[-1]
-        self._delta = np.array([P % ctx.all_primes[j] for j in range(J)],
-                               dtype=np.uint32).reshape(J, 1)
+        # generalized hybrid: digits of size α = #specials; P = ∏ specials.
+        # δ_i = P mod q_i is naturally 0 on special limbs.
+        alpha = ctx.num_special
+        self.num_digits = J = -(-ctx.num_data // alpha)
+        L_tot = len(ctx.all_primes)
+        P = 1
+        for p in ctx.params.special_moduli:
+            P *= p
+        delta = np.array([P % q for q in ctx.all_primes],
+                         dtype=np.uint32).reshape(L_tot, 1)
+        self._delta = delta
         self._delta_shoup = np.array(
-            [(int(P % ctx.all_primes[j]) << 32) // ctx.all_primes[j]
-             for j in range(J)], dtype=np.uint32).reshape(J, 1)
+            [(int(P % q) << 32) // q for q in ctx.all_primes],
+            dtype=np.uint32).reshape(L_tot, 1)
+        digit_mask = np.zeros((J, L_tot, 1), dtype=bool)
+        for j in range(J):
+            digit_mask[j, j * alpha: min((j + 1) * alpha, ctx.num_data)] = True
+        self._digit_mask = digit_mask
 
         def ksk_kernel(a, e_rns, s_prime):
             """a, e_rns: [J, L_tot, N]; s_prime: [L_tot, N] Montgomery NTT
@@ -109,10 +120,9 @@ class KeyGenerator:
             b = mod_neg(mod_add(mont_mul(a, self.secret.data, tabs.q,
                                          self._qinv_full), e_m, tabs.q),
                         tabs.q)
-            jj = jnp.arange(J)
-            qj = tabs.q[:J]
-            term = shoup_mul(s_prime[:J], self._delta, self._delta_shoup, qj)
-            b = b.at[jj, jj].set(mod_add(b[jj, jj], term, qj[:, 0, None]))
+            term = shoup_mul(s_prime, self._delta, self._delta_shoup, tabs.q)
+            b = jnp.where(self._digit_mask,
+                          mod_add(b, term, tabs.q), b)
             k = jnp.stack([b, a], axis=1)
             return shoup_mul(k, tabs.r, tabs.r_shoup, tabs.q)
 
@@ -150,7 +160,7 @@ class KeyGenerator:
         ctx = self.ctx
         n = ctx.params.poly_degree
         q = ctx.tables_full.q
-        J = ctx.num_data
+        J = self.num_digits
         a = np.stack([rnd.uniform_rns(self.seed, self._next_domain(), q, n)
                       for _ in range(J)])
         e = np.stack([rnd.signed_to_rns(

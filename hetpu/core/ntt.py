@@ -166,9 +166,14 @@ def ntt_fwd(a: jnp.ndarray, t) -> jnp.ndarray:
     return x.reshape(*lead, L, n)
 
 
-def ntt_fwd_mont(a: jnp.ndarray, t: NttTables) -> jnp.ndarray:
+def ntt_fwd_mont(a: jnp.ndarray, t) -> jnp.ndarray:
     """Forward NTT of standard-form coeffs → Montgomery-form evaluations
-    (one extra Shoup pass to multiply by R mod q)."""
+    (one extra Shoup pass to multiply by R mod q; fused into the Pallas
+    kernel's epilogue on TPU)."""
+    if hasattr(t, "sub1"):
+        from . import pallas_ntt
+        if pallas_ntt.enabled():
+            return pallas_ntt.ntt_fwd(a, t, to_mont=True)
     return shoup_mul(ntt_fwd(a, t), t.r, t.r_shoup, t.q)
 
 

@@ -201,6 +201,9 @@ def _inv_axis2(x, t: flat.NttTables, *, strip_mont: bool):
 
 def ntt_fwd(a, t: FourStepTables):
     """[..., L, N] → bit-exact equivalent of flat ntt_fwd."""
+    from . import pallas_ntt
+    if pallas_ntt.enabled():
+        return pallas_ntt.ntt_fwd(a, t)
     lead = a.shape[:-2]
     L = a.shape[-2]
     x = a.reshape(*lead, L, t.n1, t.n2)
@@ -213,6 +216,9 @@ def ntt_fwd(a, t: FourStepTables):
 
 
 def ntt_inv(a, t: FourStepTables, *, strip_mont: bool = False):
+    from . import pallas_ntt
+    if pallas_ntt.enabled():
+        return pallas_ntt.ntt_inv(a, t, strip_mont=strip_mont)
     lead = a.shape[:-2]
     L = a.shape[-2]
     x = a.reshape(*lead, L, t.n1, t.n2)

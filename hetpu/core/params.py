@@ -191,15 +191,19 @@ def preset(name: str) -> HeParams:
 
 _PRESETS = {
     # reference matrix_operations.cpp:63-66  — CKKS N=2^13 {60,40,40,60}
-    "ckks_small": lambda: ckks_params(1 << 13, levels=2, scale_bits=30),
+    "ckks_small": lambda: ckks_params(1 << 13, levels=2, scale_bits=30,
+                                     num_special=2),
     # reference matrix_operations.cpp:840-852 — CKKS N=2^15, 15 levels
-    "ckks_deep": lambda: ckks_params(1 << 15, levels=15, scale_bits=30),
+    "ckks_deep": lambda: ckks_params(1 << 15, levels=15, scale_bits=30,
+                                    num_special=4),
     # reference fft.cpp:18-21 — CKKS N=2^14, 10 levels
-    "ckks_fft": lambda: ckks_params(1 << 14, levels=10, scale_bits=30),
+    "ckks_fft": lambda: ckks_params(1 << 14, levels=10, scale_bits=30,
+                                   num_special=3),
     # BASELINE.json config 1: N=8192, 3 RNS primes
     "baseline_roundtrip": lambda: ckks_params(1 << 13, levels=2, scale_bits=30),
     # north-star bench config: N=2^14
-    "bench_n14": lambda: ckks_params(1 << 14, levels=8, scale_bits=30),
+    "bench_n14": lambda: ckks_params(1 << 14, levels=8, scale_bits=30,
+                                    num_special=3),
     # reference matrix_operations.cpp:145-150 — BFV N=2^13
     "bfv_small": lambda: bfv_params(1 << 13, levels=2),
     # tiny fast-test configs (sec_level=0: test-only, too small to be secure)
@@ -210,6 +214,10 @@ _PRESETS = {
     "test_deep": lambda: ckks_params(1 << 11, levels=12, scale_bits=30,
                                      first_prime_bits=31, special_prime_bits=31,
                                      sec_level=0),
+    # multi-prime-digit (dnum) key-switch coverage: α = 3 special primes
+    "test_dnum": lambda: ckks_params(1 << 10, levels=7, scale_bits=30,
+                                     first_prime_bits=31, special_prime_bits=31,
+                                     num_special=3, sec_level=0),
     "test_bfv_tiny": lambda: bfv_params(1 << 10, levels=2, plain_bits=17,
                                         prime_bits=26, first_prime_bits=27,
                                         sec_level=0),
