@@ -15,14 +15,16 @@ def main(argv=None):
     argv = [a for a in argv if a != "--small"]
     if len(argv) < 1:
         print(__doc__)
-        print("suites: client client_server_rookie fft math_operations "
-              "matrix_operations server")
+        print("suites: bfv_operations client client_server_rookie fft "
+              "math_operations matrix_operations server")
         return 1
     suite = argv[0]
     name = argv[1] if len(argv) > 1 else None
 
     if suite == "matrix_operations":
         from . import matrix_operations as m
+    elif suite == "bfv_operations":
+        from . import bfv_operations as m
     elif suite == "math_operations":
         from . import math_operations as m
     elif suite == "fft":

@@ -1,0 +1,67 @@
+"""Multi-chip sharding on the 8-device virtual CPU mesh (SURVEY.md §4:
+same collective program on an emulated mesh before a real pod slice)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from hetpu import parallel
+from hetpu.session import Session
+
+SEED = b"\x09" * 32
+
+
+@pytest.fixture(scope="module")
+def sess():
+    return Session.create("test_tiny", seed=SEED,
+                          galois_steps=list(range(8)))
+
+
+def test_shard_batch_dp(sess, rng):
+    """Data-parallel batch axis: sharded elementwise pipeline."""
+    mesh = parallel.make_mesh((8,), ("dp",))
+    B = 16
+    xs = [rng.uniform(-1, 1, sess.slots) for _ in range(B)]
+    cts = [sess.encrypt(x) for x in xs]
+    batched = cts[0].with_(data=jnp.stack([c.data for c in cts]))
+    sharded = parallel.shard_batch(batched, mesh, "dp")
+    out = sess.ev.square_relin_rescale(sharded, sess.rk)
+    for i in (0, 7, 15):
+        got = sess.decrypt(out.with_(data=np.asarray(out.data)[i]))
+        np.testing.assert_allclose(got.real, xs[i] ** 2, atol=1e-3)
+
+
+def test_mod_all_reduce(sess, rng):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    mesh = parallel.make_mesh((8,), ("r",))
+    q = np.uint32(97)
+    x = rng.integers(0, 97, size=(8, 4, 128), dtype=np.int64).astype(np.uint32)
+
+    def fn(xs):
+        return parallel.mod_all_reduce(xs[0], q, "r")
+
+    out = shard_map(fn, mesh=mesh, in_specs=(P("r"),), out_specs=P(),
+                    check_vma=False)(jnp.asarray(x))
+    want = x.astype(np.uint64).sum(axis=0) % 97
+    np.testing.assert_array_equal(np.asarray(out), want.astype(np.uint32))
+
+
+def test_bucketed_matvec(sess, rng):
+    """Rotation/key-parallel diagonal matvec with psum-style modular
+    reduction — the north-star distributed hot loop."""
+    mesh = parallel.make_mesh((4,), ("rot",))
+    d = 8
+    A = rng.uniform(-1, 1, (d, d))
+    v = rng.uniform(-1, 1, d)
+    # diag-layout rows, tiled ×2 for rotation wrap
+    diag_rows = []
+    for j in range(d):
+        row = np.array([A[i, (i + j) % d] for i in range(d)])
+        diag_rows.append(sess.encrypt(np.tile(row, 2)).data)
+    diags = sess.encrypt(np.zeros(d)).with_(data=jnp.stack(diag_rows))
+    vec = sess.encrypt(np.tile(v, 2))
+    out = parallel.bucketed_matvec(sess, diags, vec, d, mesh, "rot")
+    got = sess.decrypt(out).real[:d]
+    np.testing.assert_allclose(got, A @ v, atol=1e-2)
