@@ -2,10 +2,14 @@
 throughput at N=2^14 (the BASELINE.md north-star metric; reference
 machinery: ``math_operations.cpp:338-354`` ct-ct mult + relin timers).
 
-Honest timing on remote-device backends: every iteration's input is
-derived from the previous output (no dead computations, no memoizable
-repeats), and the loop is closed with a device-side reduction fetched to
-the host — wall-clock covers real execution, not dispatch.
+Honest timing on remote-device backends: iterations form a true
+sequential dependency chain (each step's input folds in a data-dependent
+tag from the previous output, inside a jitted ``lax.scan``), and the loop
+is closed with a device-side reduction fetched to the host — wall-clock
+covers real execution, not dispatch, and nothing is memoizable or
+dead-code-eliminable.  The scan keeps host dispatch out of the measured
+region (the axon remote backend costs ~10 ms per dispatched executable,
+which is not a property of the framework under test).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "ops/s", "vs_baseline": N}
@@ -30,36 +34,38 @@ def main():
     rng = np.random.default_rng(0)
 
     BATCH = 32         # ops counted per ciphertext pair
+    K = 10             # chained steps per dispatch
     base = sess.encrypt(rng.uniform(-1, 1, sess.slots))
     b_ct = sess.encrypt(rng.uniform(-1, 1, sess.slots))
     a = base.with_(data=jnp.stack([base.data] * BATCH))
     b = b_ct.with_(data=jnp.stack([b_ct.data] * BATCH))
 
     @jax.jit
-    def step(da, db, tag):
-        # fold the previous iteration's tag into the input: forces a true
-        # sequential dependency chain across iterations
-        ca = a.with_(data=jnp.bitwise_xor(da, tag))
-        out = sess.ev.multiply_relin_rescale(ca, b.with_(data=db), sess.rk)
-        new_tag = jnp.sum(out.data[..., :1, :1, :8],
-                          dtype=jnp.uint32) & jnp.uint32(1)
-        return out.data, new_tag
+    def run(da, db, tag0):
+        def body(tag, _):
+            # fold the previous step's tag into the input: a true
+            # sequential dependency chain across all K steps
+            ca = a.with_(data=jnp.bitwise_xor(da, tag))
+            out = sess.ev.multiply_relin_rescale(ca, b.with_(data=db),
+                                                 sess.rk)
+            new_tag = jnp.sum(out.data[..., :1, :1, :8],
+                              dtype=jnp.uint32) & jnp.uint32(1)
+            return new_tag, ()
+        tag, _ = jax.lax.scan(body, tag0, None, length=K)
+        return tag
 
-    # compile + warmup, and measure fetch latency
-    _, tag = step(a.data, b.data, jnp.uint32(0))
-    t0 = time.perf_counter()
-    _ = int(tag)
-    lat = time.perf_counter() - t0
+    # compile + warmup
+    _ = int(run(a.data, b.data, jnp.uint32(0)))
 
-    iters = 20
+    reps = 4
     tag = jnp.uint32(0)
     t0 = time.perf_counter()
-    for _ in range(iters):
-        _, tag = step(a.data, b.data, tag)
+    for _ in range(reps):
+        tag = run(a.data, b.data, tag)
     _ = int(tag)                       # forces the whole chain
     dt = time.perf_counter() - t0
 
-    ops_per_s = BATCH * iters / dt
+    ops_per_s = BATCH * K * reps / dt
     print(json.dumps({
         "metric": "ckks_mult_relin_rescale_n14_ops_per_s",
         "value": round(ops_per_s, 2),

@@ -190,18 +190,15 @@ class Evaluator:
         nd = self.ctx.num_data
         k = jnp.concatenate(
             [ksk.data[:J, :, : level + 1], ksk.data[:J, :, nd:]], axis=2)
-        ext_j = jnp.moveaxis(ext, -3, 0)              # [J, ..., R, N]
         q, qn = plan.q, plan.qinv_neg
 
-        def body(acc, xs):
-            e_j, k_j = xs                              # [..., R, N], [2, R, N]
-            prod = mont_mul(e_j[..., None, :, :], k_j, q, qn)
-            return mod_add(acc, prod, q), None
-
-        batch = ext.shape[:-3]
-        acc0 = jnp.zeros((*batch, 2, ext.shape[-2], ext.shape[-1]),
-                         dtype=jnp.uint32)
-        acc, _ = jax.lax.scan(body, acc0, (ext_j, k))
+        # unrolled digit loop (J is small and static): keeps the whole
+        # inner product one fusible expression — a lax.scan here costs
+        # ~0.8 ms/step of while-loop overhead on v5e (profiled)
+        acc = None
+        for j in range(J):
+            prod = mont_mul(ext[..., j, None, :, :], k[j], q, qn)
+            acc = prod if acc is None else mod_add(acc, prod, q)
         # divide by P, back to {q_0..q_ℓ}
         out = _mod_down(acc, plan.moddown, self.ctx.num_special)
         return out[..., 0, :, :], out[..., 1, :, :]

@@ -1,0 +1,492 @@
+"""MXU (systolic-array) four-step NTT: modular matmul via int8 digits.
+
+The butterfly formulation (ntt.py / ntt4.py / pallas_ntt.py) is VPU-bound:
+every stage is an elementwise pass with sublane shuffles, ~115 int32 ops
+per element per transform, measured ~15-27 us per 16K limb-plane on v5e —
+two orders of magnitude off the chip's matmul throughput.  This module
+reformulates the four-step decomposition so the size-n1/n2 sub-transforms
+run on the MXU instead (SURVEY.md §7 Phase 1 "speed-of-light kernel";
+replaces SEAL's ``util::ntt_negacyclic_harvey`` hot path):
+
+    x[n1, n2] --(T1 @ x : MXU)--> twiddle (VPU) --(x @ T2ᵀ : MXU)--> out
+
+Each sub-transform is an exact modular matrix multiply.  TPUs multiply
+int8 natively (s8 x s8 -> s32 accumulate), so uint32 residues are split
+into FOUR BALANCED base-256 digits (each in [-128, 127], exact over ZZ
+after centering the residue to (-q/2, q/2]):
+
+    x  = sum_i xd_i 2^{8i}             (device: ~14 cheap int32 ops)
+    T -> digit_j(center(2^{8i} T mod q))   (host-side, exact numpy)
+
+    T @ x mod q = sum_j 2^{8j} G_j,
+    G_j = sum_i digit_j(2^{8i} T) @ xd_i   (ONE s8 [4n, 4n] @ [4n, m]
+                                            MXU matmul, contracting (i,b))
+
+|G_j| <= 128*128*4n <= 2^23 fits int32; recombination is 4 Shoup
+multiplies by 2^{8j} mod q per element (a 2^23 offset keeps operands
+unsigned; the offset correction folds into one constant).  Montgomery
+bookkeeping is free: matrix entries are standard-form constants, so
+Montgomery-form inputs stay Montgomery-form, exactly like Shoup-twiddle
+butterflies; the ntt_fwd_mont xR and strip-Mont xR^{-1} epilogues fold
+into the LAST stage's recombination constants.
+
+Digit-matrix layouts avoid all in-kernel relayouts:
+  left  matrices: rows (j major, a minor)  -> output [4, n1, n2] i32
+  right matrices: cols (j major, k minor)  -> output [n1, 4*n2] i32,
+                                              lane-sliced per j
+Sub-transform matrices are built by running the ntt4 butterfly loops on an
+identity matrix in exact numpy-u64 arithmetic — bit-exactness with the
+reference kernels is structural, and pinned by tests/test_mxu_ntt.py.
+
+Two device paths: a fused Pallas kernel (whole transform in VMEM, one HBM
+read + one write; grid (row-blocks, limbs)) on TPU, and a pure-jnp einsum
+path for CPU tests / as the readable reference.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .modular import shoup_precompute
+
+_FORCE: bool | None = None        # tests override: enable/disable module
+_FORCE_IMPL: str | None = None    # tests override: 'jnp' | 'pallas'
+
+_OFF = np.int32(1 << 23)          # unsigned offset for recombination
+_I32 = jnp.int32
+_U32 = jnp.uint32
+
+
+def enabled() -> bool:
+    if _FORCE is not None:
+        return _FORCE
+    env = os.environ.get("HETPU_MXU_NTT")
+    if env is not None:
+        return env not in ("0", "false", "off")
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _use_pallas() -> bool:
+    if _FORCE_IMPL is not None:
+        return _FORCE_IMPL == "pallas"
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+# ----------------------------------------------------------------------
+# Host-side table construction (exact numpy)
+# ----------------------------------------------------------------------
+
+def _fwd_matrix(sub, li: int) -> np.ndarray:
+    """Exact matrix of ntt4._fwd_axis2 for limb `li` (u64 numpy replica of
+    the butterfly loop applied to the identity): out = T @ x mod q."""
+    n = sub.n
+    q = np.uint64(sub.primes[li])
+    x = np.eye(n, dtype=np.uint64)
+    m, half = 1, n // 2
+    while m < n:
+        x = x.reshape(m, 2, half, n)
+        w = sub.fwd_w[li, m: 2 * m].astype(np.uint64).reshape(m, 1, 1)
+        u = x[:, 0]
+        v = x[:, 1] * w % q
+        x = np.stack([(u + v) % q, (u + q - v) % q], axis=1)
+        m *= 2
+        half //= 2
+    return x.reshape(n, n)
+
+
+def _inv_matrix(sub, li: int, *, n_inv: int) -> np.ndarray:
+    """Exact matrix of ntt4._inv_axis2 (GS butterflies + folded n_inv)."""
+    n = sub.n
+    q = np.uint64(sub.primes[li])
+    x = np.eye(n, dtype=np.uint64)
+    m, half = n // 2, 1
+    while m >= 1:
+        x = x.reshape(m, 2, half, n)
+        w = sub.inv_w[li, m: 2 * m].astype(np.uint64).reshape(m, 1, 1)
+        u = x[:, 0]
+        v = x[:, 1]
+        s = (u + v) % q
+        d = (u + q - v) % q * w % q
+        x = np.stack([s, d], axis=1)
+        m //= 2
+        half *= 2
+    return x.reshape(n, n) * np.uint64(n_inv) % q
+
+
+def _digits_balanced(v: np.ndarray) -> np.ndarray:
+    """4 balanced base-256 digits of int64 values |v| < 2^30.
+    Returns [..., 4] int8 with v == sum_j d_j 256^j exactly."""
+    v = v.astype(np.int64)
+    out = np.empty((*v.shape, 4), dtype=np.int8)
+    for j in range(3):
+        d = ((v + 128) & 255) - 128
+        out[..., j] = d.astype(np.int8)
+        v = (v - d) >> 8
+    assert (np.abs(v) <= 127).all(), "digit overflow"
+    out[..., 3] = v.astype(np.int8)
+    return out
+
+
+def _center(m: np.ndarray, q: int) -> np.ndarray:
+    m = m.astype(np.int64)
+    return np.where(m > q // 2, m - q, m)
+
+
+def _shifted_digits(T: np.ndarray, q: int) -> np.ndarray:
+    """[i, out, in, j] s8 digits of center(2^{8i} T mod q)."""
+    shifted = np.stack([T.astype(np.uint64) * np.uint64(1 << (8 * i))
+                        % np.uint64(q) for i in range(4)])
+    return _digits_balanced(_center(shifted, q))
+
+
+def _digit_matrix_left(T: np.ndarray, q: int) -> np.ndarray:
+    """LEFT-multiply digit matrix: out[a,c] = sum_b T[a,b] x[b,c].
+    s8 [(j,a) = 4*n_out, (i,b) = 4*n_in] — j MAJOR in rows so the i32
+    output reshapes to [4, n_out, n2] with no relayout."""
+    n_out, n_in = T.shape
+    d = _shifted_digits(T, q)                                # [i, a, b, j]
+    return np.ascontiguousarray(
+        d.transpose(3, 1, 0, 2).reshape(4 * n_out, 4 * n_in))
+
+
+def _digit_matrix_right(T: np.ndarray, q: int) -> np.ndarray:
+    """RIGHT-multiply digit matrix: out[a,k] = sum_c z[a,c] T[k,c].
+    s8 [(i,c) = 4*n_in, (j,k) = 4*n_out] — j MAJOR in cols so per-j groups
+    are aligned 128-lane slices."""
+    n_out, n_in = T.shape
+    d = _shifted_digits(T, q)                                # [i, k, c, j]
+    return np.ascontiguousarray(
+        d.transpose(0, 2, 3, 1).reshape(4 * n_in, 4 * n_out))
+
+
+def _recombine_consts(primes, extra: int | None):
+    """c_j = 2^{8j} * extra mod q [L, 4] (+ Shoup), and the offset
+    correction corr = sum_j OFF*c_j mod q [L, 1]."""
+    L = len(primes)
+    c = np.zeros((L, 4), dtype=np.uint32)
+    corr = np.zeros((L, 1), dtype=np.uint32)
+    for li, q in enumerate(primes):
+        if extra is None:
+            mult = 1
+        elif extra == -1:                          # R^{-1} mod q
+            mult = pow(1 << 32, -1, q)
+        else:
+            mult = extra % q
+        tot = 0
+        for j in range(4):
+            cj = (1 << (8 * j)) * mult % q
+            c[li, j] = cj
+            tot = (tot + int(_OFF) * cj) % q
+        corr[li, 0] = tot
+    qcol = np.array([int(p) for p in primes], dtype=np.uint32).reshape(-1, 1)
+    return c, shoup_precompute(c, qcol), corr
+
+
+class MxuNttTables:
+    """Digit matrices + constants for one RNS basis of a FourStepTables.
+    All arrays are HOST numpy (device transfer at call sites / jit consts).
+
+    fwd:  y = T1 @ x ; y *= t_fwd ; out = y @ T2^T    (+ xR epilogue opt)
+    inv:  y = x @ M2^T ; y *= t_inv ; out = M1 @ y    (+ xR^{-1} opt)
+    """
+
+    def __init__(self, t):
+        self.n, self.n1, self.n2 = t.n, t.n1, t.n2
+        self.primes = t.primes
+        L = len(t.primes)
+        R = 1 << 32
+        self.q_col = np.ascontiguousarray(t.q.reshape(L, 1))
+        self.q_half = np.array([q // 2 for q in t.primes],
+                               dtype=np.int32).reshape(L, 1)
+        self.t_fwd, self.t_fwd_shoup = t.t_fwd, t.t_fwd_shoup
+        self.t_inv, self.t_inv_shoup = t.t_inv, t.t_inv_shoup
+
+        w1, w2t, m1, m2t = [], [], [], []
+        for li, q in enumerate(t.primes):
+            w1.append(_digit_matrix_left(_fwd_matrix(t.sub1, li), q))
+            w2t.append(_digit_matrix_right(_fwd_matrix(t.sub2, li), q))
+            m1.append(_digit_matrix_left(
+                _inv_matrix(t.sub1, li, n_inv=int(t.sub1.n_inv[li, 0])), q))
+            m2t.append(_digit_matrix_right(
+                _inv_matrix(t.sub2, li, n_inv=int(t.sub2.n_inv[li, 0])), q))
+        self.w1 = np.stack(w1)        # [L, 4n1, 4n1] s8
+        self.w2t = np.stack(w2t)      # [L, 4n2, 4n2] s8
+        self.m1 = np.stack(m1)
+        self.m2t = np.stack(m2t)
+
+        self.plain = _recombine_consts(t.primes, None)     # c_j = 2^{8j}
+        self.to_mont = _recombine_consts(t.primes, R)      # fold xR
+        self.strip = _recombine_consts(t.primes, -1)       # fold xR^{-1}
+
+
+_CACHE: dict[int, MxuNttTables] = {}
+
+
+def tables_for(t) -> MxuNttTables:
+    key = id(t)
+    hit = _CACHE.get(key)
+    if hit is None:
+        hit = _CACHE[key] = MxuNttTables(t)
+    return hit
+
+
+# ----------------------------------------------------------------------
+# Shared device-side pieces (shape-generic; used by both impls)
+# ----------------------------------------------------------------------
+
+def _extract_digit_list(x, q, q_half):
+    """u32 residues -> list of 4 balanced-digit arrays (int8), elementwise.
+    q, q_half broadcastable against x."""
+    v = x.astype(_I32)
+    v = v - jnp.where(v > q_half, q.astype(_I32), jnp.int32(0))
+    ds = []
+    for _ in range(3):
+        d = ((v + 128) & 255) - 128
+        ds.append(d.astype(jnp.int8))
+        v = (v - d) >> 8
+    ds.append(v.astype(jnp.int8))
+    return ds
+
+
+def _shoup_scalarish(x, w, ws, q):
+    """shoup_mul with arbitrary-broadcast operands (x may exceed q)."""
+    from .modular import mulhi_u32, mullo_u32
+    q_est = mulhi_u32(x, ws)
+    r = mullo_u32(x, w) - mullo_u32(q_est, q)
+    return jnp.where(r >= q, r - q, r)
+
+
+# ----------------------------------------------------------------------
+# Pure-jnp path (CPU tests / readable reference)
+# ----------------------------------------------------------------------
+
+def _recombine_jnp(groups, consts, q3):
+    """groups: [..., 4, n1, n2] i32 -> u32 [..., n1, n2]."""
+    c, cs, corr = consts
+    L = c.shape[0]
+    acc = None
+    for j in range(4):
+        u = (groups[..., j, :, :] + _OFF).astype(_U32)
+        term = _shoup_scalarish(u, jnp.asarray(c[:, j]).reshape(L, 1, 1),
+                                jnp.asarray(cs[:, j]).reshape(L, 1, 1), q3)
+        s = term if acc is None else acc + term
+        acc = jnp.where(s >= q3, s - q3, s) if acc is not None else term
+    corr3 = jnp.asarray(corr).reshape(L, 1, 1)
+    return jnp.where(acc >= corr3, acc - corr3, acc + (q3 - corr3))
+
+
+def _fwd_jnp(x4, mt: MxuNttTables, consts_last):
+    lead = x4.shape[:-3]
+    L, n1, n2 = x4.shape[-3:]
+    q3 = jnp.asarray(mt.q_col).reshape(L, 1, 1)
+    qh3 = jnp.asarray(mt.q_half).reshape(L, 1, 1)
+    ds = _extract_digit_list(x4, q3, qh3)
+    xd = jnp.concatenate(ds, axis=-2)                      # [..., L, 4n1, n2]
+    g = jnp.einsum("lkz,...lzc->...lkc", jnp.asarray(mt.w1), xd,
+                   preferred_element_type=_I32)
+    g = g.reshape(*lead, L, 4, n1, n2)
+    y = _recombine_jnp(g, mt.plain, q3)
+    y = _shoup_scalarish(y, jnp.asarray(mt.t_fwd),
+                         jnp.asarray(mt.t_fwd_shoup), q3)
+    ds2 = _extract_digit_list(y, q3, qh3)
+    zd = jnp.concatenate(ds2, axis=-1)                     # [..., L, n1, 4n2]
+    g2 = jnp.einsum("...laz,lzw->...law", zd, jnp.asarray(mt.w2t),
+                    preferred_element_type=_I32)
+    g2 = g2.reshape(*lead, L, n1, 4, n2)
+    g2 = jnp.moveaxis(g2, -2, -3)                          # [..., 4, n1, n2]
+    return _recombine_jnp(g2, consts_last, q3)
+
+
+def _inv_jnp(x4, mt: MxuNttTables, consts_last):
+    lead = x4.shape[:-3]
+    L, n1, n2 = x4.shape[-3:]
+    q3 = jnp.asarray(mt.q_col).reshape(L, 1, 1)
+    qh3 = jnp.asarray(mt.q_half).reshape(L, 1, 1)
+    ds = _extract_digit_list(x4, q3, qh3)
+    xd = jnp.concatenate(ds, axis=-1)                      # [..., L, n1, 4n2]
+    g = jnp.einsum("...laz,lzw->...law", xd, jnp.asarray(mt.m2t),
+                   preferred_element_type=_I32)
+    g = jnp.moveaxis(g.reshape(*lead, L, n1, 4, n2), -2, -3)
+    y = _recombine_jnp(g, mt.plain, q3)
+    y = _shoup_scalarish(y, jnp.asarray(mt.t_inv),
+                         jnp.asarray(mt.t_inv_shoup), q3)
+    ds2 = _extract_digit_list(y, q3, qh3)
+    zd = jnp.concatenate(ds2, axis=-2)                     # [..., L, 4n1, n2]
+    g2 = jnp.einsum("lkz,...lzc->...lkc", jnp.asarray(mt.m1), zd,
+                    preferred_element_type=_I32)
+    return _recombine_jnp(g2.reshape(*lead, L, 4, n1, n2), consts_last, q3)
+
+
+# ----------------------------------------------------------------------
+# Fused Pallas kernel: whole transform in VMEM per (row-block, limb)
+# ----------------------------------------------------------------------
+
+def _kernel_body(x, lmat, rmat, tw, tws, q, qh, cm, cms, corr_m, cl, cls,
+                 corr_l, left_first: bool, n1: int, n2: int):
+    """One [n1, n2] plane.  left_first=True: fwd (T1 @ x, tw, x @ T2^T
+    reversed...) — see callers for matrix roles; mid/last recombination
+    constants (cm*, cl*) are per-limb [4] scalars from SMEM."""
+    def extract_rows(y):                       # -> [4*n1, n2] (i major)
+        ds = _extract_digit_list(y, q, qh)
+        return jnp.concatenate(ds, axis=0)
+
+    def extract_cols(y):                       # -> [n1, 4*n2] (i major)
+        ds = _extract_digit_list(y, q, qh)
+        return jnp.concatenate(ds, axis=1)
+
+    def recomb_rows(g, c, cs, corr):           # g [4*n1, n2] i32
+        acc = None
+        for j in range(4):
+            u = (g[j * n1:(j + 1) * n1] + _OFF).astype(_U32)
+            term = _shoup_scalarish(u, c[j], cs[j], q)
+            if acc is None:
+                acc = term
+            else:
+                s = acc + term
+                acc = jnp.where(s >= q, s - q, s)
+        return jnp.where(acc >= corr, acc - corr, acc + (q - corr))
+
+    def recomb_cols(g, c, cs, corr):           # g [n1, 4*n2] i32
+        acc = None
+        for j in range(4):
+            u = (g[:, j * n2:(j + 1) * n2] + _OFF).astype(_U32)
+            term = _shoup_scalarish(u, c[j], cs[j], q)
+            if acc is None:
+                acc = term
+            else:
+                s = acc + term
+                acc = jnp.where(s >= q, s - q, s)
+        return jnp.where(acc >= corr, acc - corr, acc + (q - corr))
+
+    if left_first:
+        g = jax.lax.dot_general(lmat, extract_rows(x), (((1,), (0,)), ((), ())),
+                                preferred_element_type=_I32)
+        y = recomb_rows(g, cm, cms, corr_m)
+        y = _shoup_scalarish(y, tw, tws, q)
+        g2 = jax.lax.dot_general(extract_cols(y), rmat, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=_I32)
+        return recomb_cols(g2, cl, cls, corr_l)
+    g = jax.lax.dot_general(extract_cols(x), rmat, (((1,), (0,)), ((), ())),
+                            preferred_element_type=_I32)
+    y = recomb_cols(g, cm, cms, corr_m)
+    y = _shoup_scalarish(y, tw, tws, q)
+    g2 = jax.lax.dot_general(lmat, extract_rows(y), (((1,), (0,)), ((), ())),
+                             preferred_element_type=_I32)
+    return recomb_rows(g2, cl, cls, corr_l)
+
+
+def _row_block(rows: int) -> int:
+    for rb in (8, 4, 2, 1):
+        if rows % rb == 0:
+            return rb
+    return 1
+
+
+@lru_cache(maxsize=None)
+def _pallas_call(n1: int, n2: int, L: int, rows: int, left_first: bool,
+                 which_last: str):
+    rb = _row_block(rows)
+
+    def kernel(x_ref, lm_ref, rm_ref, tw_ref, tws_ref, q_ref, qh_ref,
+               cm_ref, cms_ref, corrm_ref, cl_ref, cls_ref, corrl_ref,
+               out_ref):
+        l = pl.program_id(1)
+        q = q_ref[l, 0]
+        qh = qh_ref[l, 0]
+        cm = [cm_ref[l, j] for j in range(4)]
+        cms = [cms_ref[l, j] for j in range(4)]
+        cl = [cl_ref[l, j] for j in range(4)]
+        cls = [cls_ref[l, j] for j in range(4)]
+        for p in range(rb):
+            out_ref[p, 0] = _kernel_body(
+                x_ref[p, 0], lm_ref[l], rm_ref[l], tw_ref[l], tws_ref[l],
+                q, qh, cm, cms, corrm_ref[l, 0], cl, cls, corrl_ref[l, 0],
+                left_first, n1, n2)
+
+    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def call(x4, lm, rm, tw, tws, q, qh, cm, cms, corrm, cl, cls, corrl):
+        out = pl.pallas_call(
+            kernel,
+            grid=(rows // rb, L),
+            in_specs=[
+                pl.BlockSpec((rb, 1, n1, n2), lambda r, l: (r, l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                vmem(), vmem(), vmem(), vmem(),
+                smem(), smem(), smem(), smem(), smem(), smem(), smem(),
+                smem(),
+            ],
+            out_specs=pl.BlockSpec((rb, 1, n1, n2), lambda r, l: (r, l, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows, L, n1, n2), jnp.uint32),
+        )(x4, lm, rm, tw, tws, q, qh, cm, cms, corrm, cl, cls, corrl)
+        return out
+
+    return call
+
+
+def _run_pallas(a, mt: MxuNttTables, *, forward: bool, consts_last):
+    lead = a.shape[:-2]
+    L = a.shape[-2]
+    rows = int(np.prod(lead)) if lead else 1
+    x4 = a.reshape(rows, L, mt.n1, mt.n2)
+    if forward:
+        lm, rm = mt.w1, mt.w2t
+        tw, tws = mt.t_fwd, mt.t_fwd_shoup
+    else:
+        lm, rm = mt.m1, mt.m2t
+        tw, tws = mt.t_inv, mt.t_inv_shoup
+    cm, cms, corrm = mt.plain
+    cl, cls, corrl = consts_last
+    which = "plain"
+    if consts_last is mt.to_mont:
+        which = "mont"
+    elif consts_last is mt.strip:
+        which = "strip"
+    call = _pallas_call(mt.n1, mt.n2, L, rows, forward, which)
+    out = call(x4, lm, rm, tw, tws, mt.q_col, mt.q_half,
+               cm, cms, corrm, cl, cls, corrl)
+    return out.reshape(*lead, L, mt.n)
+
+
+# ----------------------------------------------------------------------
+# Public API (bit-exact drop-ins for ntt4.ntt_fwd / ntt_inv)
+# ----------------------------------------------------------------------
+
+def ntt_fwd(a, t, *, to_mont: bool = False):
+    """[..., L, N] u32 -> bit-exact equivalent of ntt4.ntt_fwd, optionally
+    with the xR Montgomery epilogue folded into the last recombination."""
+    mt = tables_for(t)
+    consts = mt.to_mont if to_mont else mt.plain
+    if _use_pallas():
+        return _run_pallas(a, mt, forward=True, consts_last=consts)
+    lead = a.shape[:-2]
+    L = a.shape[-2]
+    x4 = a.reshape(*lead, L, t.n1, t.n2)
+    return _fwd_jnp(x4, mt, consts).reshape(*lead, L, t.n)
+
+
+def ntt_inv(a, t, *, strip_mont: bool = False):
+    """[..., L, N] u32 -> bit-exact equivalent of ntt4.ntt_inv."""
+    mt = tables_for(t)
+    consts = mt.strip if strip_mont else mt.plain
+    if _use_pallas():
+        return _run_pallas(a, mt, forward=False, consts_last=consts)
+    lead = a.shape[:-2]
+    L = a.shape[-2]
+    x4 = a.reshape(*lead, L, t.n1, t.n2)
+    return _inv_jnp(x4, mt, consts).reshape(*lead, L, t.n)

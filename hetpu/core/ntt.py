@@ -171,7 +171,9 @@ def ntt_fwd_mont(a: jnp.ndarray, t) -> jnp.ndarray:
     (one extra Shoup pass to multiply by R mod q; fused into the Pallas
     kernel's epilogue on TPU)."""
     if hasattr(t, "sub1"):
-        from . import pallas_ntt
+        from . import mxu_ntt, pallas_ntt
+        if mxu_ntt.enabled():
+            return mxu_ntt.ntt_fwd(a, t, to_mont=True)
         if pallas_ntt.enabled():
             return pallas_ntt.ntt_fwd(a, t, to_mont=True)
     return shoup_mul(ntt_fwd(a, t), t.r, t.r_shoup, t.q)

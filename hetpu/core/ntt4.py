@@ -201,7 +201,9 @@ def _inv_axis2(x, t: flat.NttTables, *, strip_mont: bool):
 
 def ntt_fwd(a, t: FourStepTables):
     """[..., L, N] → bit-exact equivalent of flat ntt_fwd."""
-    from . import pallas_ntt
+    from . import mxu_ntt, pallas_ntt
+    if mxu_ntt.enabled():
+        return mxu_ntt.ntt_fwd(a, t)
     if pallas_ntt.enabled():
         return pallas_ntt.ntt_fwd(a, t)
     lead = a.shape[:-2]
@@ -216,7 +218,9 @@ def ntt_fwd(a, t: FourStepTables):
 
 
 def ntt_inv(a, t: FourStepTables, *, strip_mont: bool = False):
-    from . import pallas_ntt
+    from . import mxu_ntt, pallas_ntt
+    if mxu_ntt.enabled():
+        return mxu_ntt.ntt_inv(a, t, strip_mont=strip_mont)
     if pallas_ntt.enabled():
         return pallas_ntt.ntt_inv(a, t, strip_mont=strip_mont)
     lead = a.shape[:-2]

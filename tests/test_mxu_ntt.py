@@ -1,0 +1,85 @@
+"""Bit-exact parity of the MXU (int8-matmul) NTT with the four-step
+butterfly kernels — the property every scheme op relies on when the TPU
+dispatch swaps kernels (same strategy as tests/test_pallas_ntt.py)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from hetpu.core import mxu_ntt, ntt4
+from hetpu.core import nt
+from hetpu.core.ntt import build_tables as build_flat
+
+
+def _primes(n, k, bits=30):
+    return nt.gen_primes(bits, k, 2 * n)
+
+
+@pytest.fixture(scope="module")
+def t4096():
+    n = 4096
+    return ntt4.build_tables(n, _primes(n, 3))
+
+
+def _rand(rng, shape, primes):
+    q = np.array(primes, dtype=np.uint32).reshape(-1, 1)
+    return jnp.asarray(
+        rng.integers(0, 2**31, shape, dtype=np.uint32) % q)
+
+
+def test_fwd_matches_four_step(rng, t4096):
+    x = _rand(rng, (2, len(t4096.primes), t4096.n), t4096.primes)
+    ref = ntt4.ntt_fwd(x, t4096)
+    out = mxu_ntt.ntt_fwd(x, t4096)
+    assert (np.asarray(ref) == np.asarray(out)).all()
+
+
+def test_inv_matches_four_step(rng, t4096):
+    x = _rand(rng, (2, len(t4096.primes), t4096.n), t4096.primes)
+    ref = ntt4.ntt_inv(x, t4096)
+    out = mxu_ntt.ntt_inv(x, t4096)
+    assert (np.asarray(ref) == np.asarray(out)).all()
+
+
+def test_inv_strip_mont(rng, t4096):
+    x = _rand(rng, (1, len(t4096.primes), t4096.n), t4096.primes)
+    ref = ntt4.ntt_inv(x, t4096, strip_mont=True)
+    out = mxu_ntt.ntt_inv(x, t4096, strip_mont=True)
+    assert (np.asarray(ref) == np.asarray(out)).all()
+
+
+def test_fwd_to_mont(rng, t4096):
+    from hetpu.core.modular import shoup_mul
+    x = _rand(rng, (1, len(t4096.primes), t4096.n), t4096.primes)
+    ref = shoup_mul(ntt4.ntt_fwd(x, t4096),
+                    jnp.asarray(t4096.r), jnp.asarray(t4096.r_shoup),
+                    jnp.asarray(t4096.q))
+    out = mxu_ntt.ntt_fwd(x, t4096, to_mont=True)
+    assert (np.asarray(ref) == np.asarray(out)).all()
+
+
+def test_roundtrip_identity(rng, t4096):
+    x = _rand(rng, (1, len(t4096.primes), t4096.n), t4096.primes)
+    back = mxu_ntt.ntt_inv(mxu_ntt.ntt_fwd(x, t4096), t4096)
+    assert (np.asarray(back) == np.asarray(x)).all()
+
+
+def test_n2_256_shape(rng):
+    """N = 2^15 uses n2=256 (rectangular digit matrices)."""
+    n = 1 << 15
+    t = ntt4.build_tables(n, _primes(n, 2))
+    x = _rand(rng, (1, 2, n), t.primes)
+    assert (np.asarray(mxu_ntt.ntt_fwd(x, t)) ==
+            np.asarray(ntt4.ntt_fwd(x, t))).all()
+    assert (np.asarray(mxu_ntt.ntt_inv(x, t)) ==
+            np.asarray(ntt4.ntt_inv(x, t))).all()
+
+
+def test_worst_case_residues(t4096):
+    """All residues at q-1 and q/2 edges — digit/accumulator bounds."""
+    L = len(t4096.primes)
+    q = np.array(t4096.primes, dtype=np.uint32).reshape(-1, 1)
+    for val in (q - 1, q // 2, q // 2 + 1):
+        x = jnp.asarray(np.broadcast_to(val, (L, t4096.n)).copy())
+        assert (np.asarray(mxu_ntt.ntt_fwd(x, t4096)) ==
+                np.asarray(ntt4.ntt_fwd(x, t4096))).all()
