@@ -57,6 +57,24 @@ class ModDownPlan:
 
 
 @dataclass(frozen=True)
+class ModDownRescalePlan:
+    """FUSED key-switch mod-down + CKKS rescale: divide the key-basis
+    accumulator (plus P·(c0,c1)) by P·q_ℓ in ONE divide-and-round, landing
+    directly on level ℓ-1.  Saves the separate rescale's INTT/NTT tower
+    (~20% of the NTT planes of a mult+relin+rescale) and one elementwise
+    pass; rounding quality matches the two-step path (one centered-FBC
+    α-misround = ±1 noise unit)."""
+
+    src_tables: NttTables        # [q_ℓ] + specials  (α+1 limbs)
+    dst_tables: NttTables        # data primes q_0..q_{ℓ-1}
+    fbc: object                  # rns.FbcPlan  sources → dst
+    p_mod: np.ndarray            # [ℓ+1,1]  P mod q_i (for c·P lift)
+    p_mod_shoup: np.ndarray
+    pq_inv: np.ndarray           # [ℓ,1]  (P·q_ℓ)^{-1} mod q_i
+    pq_inv_shoup: np.ndarray
+
+
+@dataclass(frozen=True)
 class KeySwitchPlan:
     """Constants for generalized hybrid key-switching at level ℓ with
     digit size α = #special primes (dnum trade-off).
@@ -80,6 +98,17 @@ class KeySwitchPlan:
     # per-source-prime digit-lift constants (digit-local ĥat inverses):
     dig_inv: np.ndarray          # [ℓ+1,1]  (D_j/q_i)^{-1} mod q_i
     dig_inv_shoup: np.ndarray
+    # R^{-1} mod q_i: on a digit's OWN primes the lifted value is c2
+    # itself (Σ ŷ_i·d̂_i ≡ c2·D̂_i^{-1}·D̂_i ≡ c2; foreign d̂ terms and the
+    # FBC excess u·D all contain the prime), so those rows come straight
+    # from the Montgomery-NTT input with one strip-R Shoup multiply —
+    # no INTT→NTT roundtrip, bit-identical to the lift
+    rinv: np.ndarray             # [ℓ+1,1]
+    rinv_shoup: np.ndarray
+    # per-digit FOREIGN-prime views (key basis minus the digit's own
+    # primes), precomputed so jit traces reuse one table identity
+    foreign_idx: tuple           # (np.ndarray, ...) per digit
+    foreign_tables: tuple        # (NttTables/FourStepTables, ...) per digit
     dhat: np.ndarray             # [ℓ+1,R]  (D_j/q_i) mod r
     dhat_shoup: np.ndarray
     moddown: ModDownPlan
@@ -158,6 +187,7 @@ class Context:
                        for j in range(J))
         # per-digit lift constants
         dig_inv = np.zeros((n_data, 1), dtype=np.uint32)
+        rinv = _col([nt.modinv((1 << 32) % q, q) for q in active])
         dhat = np.zeros((n_data, R), dtype=np.uint32)
         for (lo, hi) in bounds:
             D = 1
@@ -184,20 +214,59 @@ class Context:
             p_inv_shoup=shoup_precompute(
                 _col([nt.modinv(P % q, q) for q in active]), _col(active)),
         )
+        basis_tables = self.tables_full.slice(basis_index)
+        foreign_idx = tuple(
+            np.concatenate([np.arange(lo), np.arange(hi, R)])
+            for (lo, hi) in bounds)
         return KeySwitchPlan(
             level=level,
             alpha=alpha,
             num_digits=J,
             digit_bounds=bounds,
-            basis_tables=self.tables_full.slice(basis_index),
+            basis_tables=basis_tables,
+            foreign_idx=foreign_idx,
+            foreign_tables=tuple(basis_tables.slice(f) for f in foreign_idx),
             q=_col(basis_primes),
             qinv_neg=_col([((1 << 32) - nt.modinv(r, 1 << 32)) % (1 << 32)
                            for r in basis_primes]),
             dig_inv=dig_inv,
             dig_inv_shoup=shoup_precompute(dig_inv, _col(active)),
+            rinv=rinv,
+            rinv_shoup=shoup_precompute(rinv, _col(active)),
             dhat=dhat,
             dhat_shoup=dhat_shoup,
             moddown=moddown,
+        )
+
+    @lru_cache(maxsize=None)
+    def moddown_rescale_plan(self, level: int) -> ModDownRescalePlan:
+        """Fused divide-and-round by P·q_level (key-switch mod-down and
+        rescale in one pass), landing on level-1."""
+        from . import rns
+        if level < 1:
+            raise ValueError("cannot rescale below level 0")
+        k = self.num_special
+        q_last = self.params.moduli[level]
+        specials = list(self.params.special_moduli)
+        dst = list(self.params.moduli[: level])
+        src_idx = np.concatenate(
+            [np.array([level]),
+             np.arange(self.num_data, self.num_data + k)])
+        P = 1
+        for p in specials:
+            P *= p
+        PQ = P * q_last
+        active = list(self.params.moduli[: level + 1])
+        return ModDownRescalePlan(
+            src_tables=self.tables_full.slice(src_idx),
+            dst_tables=self.tables_full.slice(np.arange(level)),
+            fbc=rns.make_fbc([q_last] + specials, dst),
+            p_mod=_col([P % q for q in active]),
+            p_mod_shoup=shoup_precompute(
+                _col([P % q for q in active]), _col(active)),
+            pq_inv=_col([nt.modinv(PQ % q, q) for q in dst]),
+            pq_inv_shoup=shoup_precompute(
+                _col([nt.modinv(PQ % q, q) for q in dst]), _col(dst)),
         )
 
     # ------------------------------------------------------------------

@@ -165,26 +165,37 @@ class Evaluator:
         diagonal-matmul rotation hot loop."""
         plan: KeySwitchPlan = self.ctx.keyswitch_plan(level)
         tabs = self.ctx.tables(level)
-        # 1. digits → coefficient domain, standard form (free Mont-strip)
-        coeffs = ntt_inv(d, tabs, strip_mont=True)
-        # 2. digit-local ĥat-inverse, then lift to the key basis
-        y = shoup_mul(coeffs, plan.dig_inv, plan.dig_inv_shoup, tabs.q)
+        # 1+2. digits → coefficient domain with the digit-local ĥat-inverse
+        #    folded into the INTT epilogue (standard form, free Mont-strip).
+        #    The key-basis lift then covers only each digit's FOREIGN
+        #    primes: on the digit's own primes the lifted value ≡ the
+        #    original residue (the FBC excess u·D and all foreign d̂ terms
+        #    vanish mod every source prime), so those rows come straight
+        #    from the still-NTT-domain input with a single Shoup multiply —
+        #    no INTT→NTT roundtrip (J·α fewer key-basis NTT planes).
+        y = ntt_inv(d, tabs, strip_mont=True, extra=plan.dig_inv)
         exts = []
-        for (lo, hi) in plan.digit_bounds:
+        for di, (lo, hi) in enumerate(plan.digit_bounds):
+            foreign = plan.foreign_idx[di]
+            qf = plan.q[foreign]
             acc = None
             for i in range(lo, hi):
-                term = shoup_mul(y[..., i: i + 1, :], plan.dhat[i][:, None],
-                                 plan.dhat_shoup[i][:, None], plan.q)
-                acc = term if acc is None else mod_add(acc, term, plan.q)
-            exts.append(acc)
-        ext = jnp.stack(exts, axis=-3)                 # [..., J, R, N]
-        # 3. forward NTT in the key basis (standard form: R²-form keys make
-        #    the inner product land in Montgomery form for free)
-        return ntt_fwd(ext, plan.basis_tables)
+                term = shoup_mul(y[..., i: i + 1, :],
+                                 plan.dhat[i][foreign][:, None],
+                                 plan.dhat_shoup[i][foreign][:, None], qf)
+                acc = term if acc is None else mod_add(acc, term, qf)
+            lifted = ntt_fwd(acc, plan.foreign_tables[di])
+            direct = shoup_mul(d[..., lo:hi, :],
+                               plan.rinv[lo:hi], plan.rinv_shoup[lo:hi],
+                               tabs.q[lo:hi])
+            exts.append(jnp.concatenate(
+                [lifted[..., :lo, :], direct, lifted[..., lo:, :]], axis=-2))
+        return jnp.stack(exts, axis=-3)                # [..., J, R, N]
 
-    def _inner_product(self, ext: jax.Array, level: int, ksk: KSwitchKey):
-        """Σ_j digit_j ⊙ ksk_j, then mod-down by P = ∏ specials.
-        ext: [..., J, R, N] standard NTT → (p0, p1) Montgomery NTT."""
+    def _inner_product_raw(self, ext: jax.Array, level: int,
+                           ksk: KSwitchKey) -> jax.Array:
+        """Σ_j digit_j ⊙ ksk_j over the key basis (NO mod-down).
+        ext: [..., J, R, N] standard NTT → [..., 2, R, N] Montgomery NTT."""
         plan: KeySwitchPlan = self.ctx.keyswitch_plan(level)
         J = plan.num_digits
         nd = self.ctx.num_data
@@ -199,7 +210,13 @@ class Evaluator:
         for j in range(J):
             prod = mont_mul(ext[..., j, None, :, :], k[j], q, qn)
             acc = prod if acc is None else mod_add(acc, prod, q)
-        # divide by P, back to {q_0..q_ℓ}
+        return acc
+
+    def _inner_product(self, ext: jax.Array, level: int, ksk: KSwitchKey):
+        """Σ_j digit_j ⊙ ksk_j, then mod-down by P = ∏ specials.
+        ext: [..., J, R, N] standard NTT → (p0, p1) Montgomery NTT."""
+        acc = self._inner_product_raw(ext, level, ksk)
+        plan: KeySwitchPlan = self.ctx.keyswitch_plan(level)
         out = _mod_down(acc, plan.moddown, self.ctx.num_special)
         return out[..., 0, :, :], out[..., 1, :, :]
 
@@ -321,11 +338,43 @@ class Evaluator:
     # fused conveniences (reference hot combos)
     # ------------------------------------------------------------------
 
+    def _relin_rescale_fused(self, ct3: Ciphertext, rk: RelinKeys) -> Ciphertext:
+        """Relinearize + rescale with ONE fused divide-and-round by P·q_ℓ:
+            out_i = round((c_i·P + Σ digit_j(c_2)·ksk_j) / (P·q_ℓ))
+        (c_i·P vanishes on the special limbs since P ≡ 0 there, and the
+        source limbs {q_ℓ} ∪ specials are a contiguous tail slice).
+        Saves the standalone rescale's whole INTT/FBC/NTT tower — ~20% of
+        the NTT planes of a mult+relin+rescale (profiled on v5e)."""
+        level = ct3.level
+        L = level + 1
+        plan = self.ctx.moddown_rescale_plan(level)
+        acc = self._inner_product_raw(
+            self._decompose(ct3.data[..., 2, :, :], level), level, rk.key)
+        c01 = ct3.data[..., :2, :, :]
+        w_data = mod_add(
+            acc[..., :L, :],
+            shoup_mul(c01, plan.p_mod, plan.p_mod_shoup,
+                      self.ctx.tables(level).q),
+            self.ctx.tables(level).q)
+        src = jnp.concatenate([w_data[..., L - 1: L, :], acc[..., L:, :]],
+                              axis=-2)
+        from . import rns
+        u = ntt_inv(src, plan.src_tables, strip_mont=True,
+                    extra=plan.fbc.inv_punit)
+        r_q = rns.fbc_apply(u, plan.fbc, correct=True, premul=False)
+        r_m = ntt_fwd_mont(r_q, plan.dst_tables)
+        q_dst = plan.dst_tables.q
+        out = shoup_mul(mod_sub(w_data[..., : L - 1, :], r_m, q_dst),
+                        plan.pq_inv, plan.pq_inv_shoup, q_dst)
+        q_last = self.ctx.params.moduli[level]
+        return Ciphertext(data=out, level=level - 1,
+                          scale=ct3.scale / q_last)
+
     def multiply_relin_rescale(self, a, b, rk: RelinKeys) -> Ciphertext:
-        return self.rescale(self.relinearize(self.multiply(a, b), rk))
+        return self._relin_rescale_fused(self.multiply(a, b), rk)
 
     def square_relin_rescale(self, a, rk: RelinKeys) -> Ciphertext:
-        return self.rescale(self.relinearize(self.square(a), rk))
+        return self._relin_rescale_fused(self.square(a), rk)
 
     def multiply_plain_rescale(self, ct, pt: Plaintext) -> Ciphertext:
         return self.rescale(self.multiply_plain(ct, pt))
@@ -339,8 +388,8 @@ def _mod_down(acc: jax.Array, md, k: int) -> jax.Array:
     from . import rns
     sp = acc[..., -k:, :]
     rest = acc[..., :-k, :]
-    u = ntt_inv(sp, md.src_tables, strip_mont=True)
-    r_q = rns.fbc_apply(u, md.fbc, correct=True)
+    u = ntt_inv(sp, md.src_tables, strip_mont=True, extra=md.fbc.inv_punit)
+    r_q = rns.fbc_apply(u, md.fbc, correct=True, premul=False)
     r_m = ntt_fwd_mont(r_q, md.dst_tables)
     return shoup_mul(mod_sub(rest, r_m, md.dst_tables.q),
                      md.p_inv, md.p_inv_shoup, md.dst_tables.q)

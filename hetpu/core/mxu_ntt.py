@@ -172,9 +172,12 @@ def _digit_matrix_right(T: np.ndarray, q: int) -> np.ndarray:
         d.transpose(0, 2, 3, 1).reshape(4 * n_in, 4 * n_out))
 
 
-def _recombine_consts(primes, extra: int | None):
-    """c_j = 2^{8j} * extra mod q [L, 4] (+ Shoup), and the offset
-    correction corr = sum_j OFF*c_j mod q [L, 1]."""
+def _recombine_consts(primes, extra: int | None, per_limb=None):
+    """c_j = 2^{8j} * extra * per_limb[l] mod q [L, 4] (+ Shoup), and the
+    offset correction corr = sum_j OFF*c_j mod q [L, 1].  ``per_limb``
+    lets callers fold an arbitrary per-limb constant multiply (e.g. a
+    digit-decomposition D̂⁻¹ or an FBC P̂⁻¹) into the transform epilogue
+    for free."""
     L = len(primes)
     c = np.zeros((L, 4), dtype=np.uint32)
     corr = np.zeros((L, 1), dtype=np.uint32)
@@ -185,6 +188,8 @@ def _recombine_consts(primes, extra: int | None):
             mult = pow(1 << 32, -1, q)
         else:
             mult = extra % q
+        if per_limb is not None:
+            mult = mult * int(per_limb[li]) % q
         tot = 0
         for j in range(4):
             cj = (1 << (8 * j)) * mult % q
@@ -193,6 +198,31 @@ def _recombine_consts(primes, extra: int | None):
         corr[li, 0] = tot
     qcol = np.array([int(p) for p in primes], dtype=np.uint32).reshape(-1, 1)
     return c, shoup_precompute(c, qcol), corr
+
+
+_MAT_CACHE: dict = {}
+
+
+def _prime_matrix(t, li: int, kind: str) -> np.ndarray:
+    """Per-prime digit matrix, memoized by (n, prime, kind): the sub-NTT
+    psi is a deterministic function of (n, q), so every basis slice of a
+    parameter set shares these."""
+    q = t.primes[li]
+    key = (t.n, q, kind)
+    hit = _MAT_CACHE.get(key)
+    if hit is None:
+        if kind == "_w1":
+            hit = _digit_matrix_left(_fwd_matrix(t.sub1, li), q)
+        elif kind == "_w2t":
+            hit = _digit_matrix_right(_fwd_matrix(t.sub2, li), q)
+        elif kind == "_m1":
+            hit = _digit_matrix_left(
+                _inv_matrix(t.sub1, li, n_inv=int(t.sub1.n_inv[li, 0])), q)
+        else:
+            hit = _digit_matrix_right(
+                _inv_matrix(t.sub2, li, n_inv=int(t.sub2.n_inv[li, 0])), q)
+        _MAT_CACHE[key] = hit
+    return hit
 
 
 class MxuNttTables:
@@ -214,22 +244,51 @@ class MxuNttTables:
         self.t_fwd, self.t_fwd_shoup = t.t_fwd, t.t_fwd_shoup
         self.t_inv, self.t_inv_shoup = t.t_inv, t.t_inv_shoup
 
-        w1, w2t, m1, m2t = [], [], [], []
-        for li, q in enumerate(t.primes):
-            w1.append(_digit_matrix_left(_fwd_matrix(t.sub1, li), q))
-            w2t.append(_digit_matrix_right(_fwd_matrix(t.sub2, li), q))
-            m1.append(_digit_matrix_left(
-                _inv_matrix(t.sub1, li, n_inv=int(t.sub1.n_inv[li, 0])), q))
-            m2t.append(_digit_matrix_right(
-                _inv_matrix(t.sub2, li, n_inv=int(t.sub2.n_inv[li, 0])), q))
-        self.w1 = np.stack(w1)        # [L, 4n1, 4n1] s8
-        self.w2t = np.stack(w2t)      # [L, 4n2, 4n2] s8
-        self.m1 = np.stack(m1)
-        self.m2t = np.stack(m2t)
+        self._t = t
 
         self.plain = _recombine_consts(t.primes, None)     # c_j = 2^{8j}
         self.to_mont = _recombine_consts(t.primes, R)      # fold xR
         self.strip = _recombine_consts(t.primes, -1)       # fold xR^{-1}
+        self._extra_cache: dict = {}
+
+    def strip_extra(self, per_limb: np.ndarray):
+        """strip-Montgomery consts with an extra per-limb multiplier
+        folded in (cached by value)."""
+        key = np.asarray(per_limb, dtype=np.uint32).tobytes()
+        hit = self._extra_cache.get(key)
+        if hit is None:
+            hit = self._extra_cache[key] = _recombine_consts(
+                self._t.primes, -1, per_limb=np.asarray(per_limb).reshape(-1))
+        return hit
+
+    # Digit matrices are built LAZILY (a basis used only forward — e.g.
+    # the per-digit foreign key bases — never pays for inverse matrices)
+    # and memoized per (n, prime, kind) so every level/digit slice of the
+    # same parameter set shares one host-side construction.
+
+    def _mats(self, kind: str) -> np.ndarray:
+        cached = self.__dict__.get(kind)
+        if cached is None:
+            t = self._t
+            rows = [_prime_matrix(t, li, kind) for li in range(len(t.primes))]
+            cached = self.__dict__[kind] = np.stack(rows)
+        return cached
+
+    @property
+    def w1(self):                 # [L, 4n1, 4n1] s8
+        return self._mats("_w1")
+
+    @property
+    def w2t(self):                # [L, 4n2, 4n2] s8
+        return self._mats("_w2t")
+
+    @property
+    def m1(self):
+        return self._mats("_m1")
+
+    @property
+    def m2t(self):
+        return self._mats("_m2t")
 
 
 _CACHE: dict[int, MxuNttTables] = {}
@@ -480,10 +539,17 @@ def ntt_fwd(a, t, *, to_mont: bool = False):
     return _fwd_jnp(x4, mt, consts).reshape(*lead, L, t.n)
 
 
-def ntt_inv(a, t, *, strip_mont: bool = False):
-    """[..., L, N] u32 -> bit-exact equivalent of ntt4.ntt_inv."""
+def ntt_inv(a, t, *, strip_mont: bool = False, extra=None):
+    """[..., L, N] u32 -> bit-exact equivalent of ntt4.ntt_inv.  ``extra``
+    (requires strip_mont) folds a per-limb constant multiply into the
+    epilogue — e.g. key-switch D̂⁻¹ or FBC P̂⁻¹ — saving a full
+    elementwise modmul pass over the output."""
     mt = tables_for(t)
-    consts = mt.strip if strip_mont else mt.plain
+    if extra is not None:
+        assert strip_mont
+        consts = mt.strip_extra(extra)
+    else:
+        consts = mt.strip if strip_mont else mt.plain
     if _use_pallas():
         return _run_pallas(a, mt, forward=False, consts_last=consts)
     lead = a.shape[:-2]

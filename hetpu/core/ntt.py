@@ -179,14 +179,22 @@ def ntt_fwd_mont(a: jnp.ndarray, t) -> jnp.ndarray:
     return shoup_mul(ntt_fwd(a, t), t.r, t.r_shoup, t.q)
 
 
-def ntt_inv(a: jnp.ndarray, t, *, strip_mont: bool = False) -> jnp.ndarray:
+def ntt_inv(a: jnp.ndarray, t, *, strip_mont: bool = False,
+            extra=None) -> jnp.ndarray:
     """Negacyclic inverse NTT. Bit-reversed evaluations → natural coeffs,
     including the final N^{-1} scaling.  With ``strip_mont`` the input is
     Montgomery-form and the output standard-form (N⁻¹R⁻¹ folded into the
-    final constant — the conversion is free)."""
+    final constant — the conversion is free).  ``extra`` (with
+    strip_mont) folds an additional per-limb constant multiply into the
+    epilogue (free on the MXU path; one Shoup pass otherwise)."""
     if hasattr(t, "sub1"):
         from . import ntt4
-        return ntt4.ntt_inv(a, t, strip_mont=strip_mont)
+        return ntt4.ntt_inv(a, t, strip_mont=strip_mont, extra=extra)
+    if extra is not None:
+        assert strip_mont
+        out = ntt_inv(a, t, strip_mont=True)
+        ex = np.asarray(extra, dtype=np.uint32).reshape(-1, 1)
+        return shoup_mul(out, ex, shoup_precompute(ex, t.q), t.q)
     n = t.n
     L = len(t.primes)
     lead = a.shape[:-2]

@@ -217,10 +217,15 @@ def ntt_fwd(a, t: FourStepTables):
     return x.reshape(*lead, L, t.n)
 
 
-def ntt_inv(a, t: FourStepTables, *, strip_mont: bool = False):
+def ntt_inv(a, t: FourStepTables, *, strip_mont: bool = False, extra=None):
     from . import mxu_ntt, pallas_ntt
     if mxu_ntt.enabled():
-        return mxu_ntt.ntt_inv(a, t, strip_mont=strip_mont)
+        return mxu_ntt.ntt_inv(a, t, strip_mont=strip_mont, extra=extra)
+    if extra is not None:
+        out = ntt_inv(a, t, strip_mont=strip_mont)
+        q = t.q
+        ex = np.asarray(extra, dtype=np.uint32).reshape(-1, 1)
+        return shoup_mul(out, ex, shoup_precompute(ex, q), q)
     if pallas_ntt.enabled():
         return pallas_ntt.ntt_inv(a, t, strip_mont=strip_mont)
     lead = a.shape[:-2]

@@ -61,12 +61,16 @@ def make_fbc(src_primes, dst_primes) -> FbcPlan:
     )
 
 
-def fbc_apply(x: jax.Array, plan: FbcPlan, *, correct: bool = True) -> jax.Array:
+def fbc_apply(x: jax.Array, plan: FbcPlan, *, correct: bool = True,
+              premul: bool = True) -> jax.Array:
     """x: [..., Lp, N] standard-form residues → [..., Lr, N] over the
     target basis.  ``correct=True`` assumes centered values (subtracts
     α·P, float32 α — see module docstring); ``correct=False`` returns the
-    plain lift Σ y_i·(P/p_i) mod r of a value in [0, Lp·P)."""
-    y = shoup_mul(x, plan.inv_punit, plan.inv_punit_shoup, plan.p)
+    plain lift Σ y_i·(P/p_i) mod r of a value in [0, Lp·P).
+    ``premul=False`` means x already carries the P̂⁻¹ factors (e.g. folded
+    into an INTT epilogue via ``ntt_inv(..., extra=plan.inv_punit)``)."""
+    y = shoup_mul(x, plan.inv_punit, plan.inv_punit_shoup,
+                  plan.p) if premul else x
     if correct:
         alpha = jnp.round(jnp.sum(y.astype(jnp.float32) *
                                   plan.p_recip.astype(np.float32),
