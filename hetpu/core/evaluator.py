@@ -199,16 +199,18 @@ class Evaluator:
         plan: KeySwitchPlan = self.ctx.keyswitch_plan(level)
         J = plan.num_digits
         nd = self.ctx.num_data
-        k = jnp.concatenate(
-            [ksk.data[:J, :, : level + 1], ksk.data[:J, :, nd:]], axis=2)
-        q, qn = plan.q, plan.qinv_neg
+        sel = lambda a: jnp.concatenate(
+            [a[:J, :, : level + 1], a[:J, :, nd:]], axis=2)
+        k, ks = sel(ksk.data), sel(ksk.shoup)
+        q = plan.q
 
         # unrolled digit loop (J is small and static): keeps the whole
         # inner product one fusible expression — a lax.scan here costs
-        # ~0.8 ms/step of while-loop overhead on v5e (profiled)
+        # ~0.8 ms/step of while-loop overhead on v5e (profiled).  Keys are
+        # Shoup-form (keys.KSwitchKey), so each MAC is a 6-mul shoup_mul.
         acc = None
         for j in range(J):
-            prod = mont_mul(ext[..., j, None, :, :], k[j], q, qn)
+            prod = shoup_mul(ext[..., j, None, :, :], k[j], ks[j], q)
             acc = prod if acc is None else mod_add(acc, prod, q)
         return acc
 

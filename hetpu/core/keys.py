@@ -4,10 +4,12 @@ Replaces SEAL's ``KeyGenerator`` (reference sites:
 ``matrix_operations.cpp:764-771``, ``client.cpp:87-92``).
 
 Representation.  All key polynomials are NTT-domain.  Secret/public keys
-are Montgomery form; **key-switching keys are stored in R²-form**
-(k·R² mod q): the key-switch inner product multiplies a *standard-form*
-extended digit by the key with one ``mont_mul``, landing directly in
-Montgomery form — the domain conversion is free (see evaluator._keyswitch).
+are Montgomery form; **key-switching keys are stored in Shoup form**
+(value + ⌊value·2^32/q⌋ companion): the key-switch inner product multiplies
+a *standard-form* extended digit by the key with one 6-mul ``shoup_mul``,
+landing directly in Montgomery form — the domain conversion is free and
+the hot-loop MAC is ~2x cheaper than the former R²-form ``mont_mul``
+(see evaluator._inner_product_raw).
 
 Switching-key structure (hybrid, single special prime P, per-prime RNS
 digits — level-independent like SEAL ``util/rlwe.cpp``):
@@ -23,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import galois, random as rnd
+from . import galois, modular, random as rnd
 from .context import Context
 from .modular import mod_add, mod_neg, mont_mul, shoup_mul, shoup_precompute
 from .ntt import ntt_fwd_mont
@@ -45,7 +47,15 @@ class PublicKey:
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class KSwitchKey:
-    data: jax.Array                      # [J, 2, L_tot, N] R²-form NTT
+    """Key-switch key in *Shoup form*: ``data`` holds the NTT-domain key
+    values (standard form; multiplying a standard-form digit by them lands
+    directly in Montgomery form — the same free domain conversion as the
+    old R²-form, but the inner product becomes a 6-mul ``shoup_mul``
+    instead of a 10-mul ``mont_mul``); ``shoup`` is the per-element
+    precomputed companion ⌊data·2^32/q⌋."""
+
+    data: jax.Array                      # [J, 2, L_tot, N] NTT
+    shoup: jax.Array                     # [J, 2, L_tot, N] companions
 
 
 @jax.tree_util.register_dataclass
@@ -113,9 +123,12 @@ class KeyGenerator:
             digit_mask[j, j * alpha: min((j + 1) * alpha, ctx.num_data)] = True
         self._digit_mask = digit_mask
 
+        mc_full = modular.mont_constants(tabs.primes)
+        r_sh = modular.shoup_precompute(mc_full["r_mod_q"], mc_full["q"])
+
         def ksk_kernel(a, e_rns, s_prime):
             """a, e_rns: [J, L_tot, N]; s_prime: [L_tot, N] Montgomery NTT
-            → [J, 2, L_tot, N] R²-form switching key."""
+            → ([J, 2, L_tot, N] key, same-shape Shoup companions)."""
             e_m = ntt_fwd_mont(e_rns, tabs)
             b = mod_neg(mod_add(mont_mul(a, self.secret.data, tabs.q,
                                          self._qinv_full), e_m, tabs.q),
@@ -124,7 +137,10 @@ class KeyGenerator:
             b = jnp.where(self._digit_mask,
                           mod_add(b, term, tabs.q), b)
             k = jnp.stack([b, a], axis=1)
-            return shoup_mul(k, tabs.r, tabs.r_shoup, tabs.q)
+            ks = modular.shoup_precompute_dev(
+                k, tabs.q, mc_full["r_mod_q"], r_sh,
+                mc_full["mu"], mc_full["qinv"])
+            return k, ks
 
         self._ksk_jit = jax.jit(ksk_kernel)
 
@@ -171,7 +187,8 @@ class KeyGenerator:
     def _kswitch_key(self, s_prime: jax.Array) -> KSwitchKey:
         """Switching key for s' → s.  s_prime: [L_tot, N] Montgomery NTT."""
         a, e = self._sample_jln()
-        return KSwitchKey(data=self._ksk_jit(a, e, s_prime))
+        k, ks = self._ksk_jit(a, e, s_prime)
+        return KSwitchKey(data=k, shoup=ks)
 
     def create_relin_keys(self) -> RelinKeys:
         return RelinKeys(key=self._kswitch_key(self._s2_jit(self.secret.data)))

@@ -124,6 +124,7 @@ def mont_constants(primes) -> dict[str, np.ndarray]:
     col = lambda xs, dt=np.uint32: np.array(xs, dtype=dt).reshape(-1, 1)
     out = {
         "q": col([int(p) for p in primes]),
+        "qinv": col(qinv),
         "qinv_neg": col(qinv_neg),
         "r_mod_q": col(r_mod),
         "r2": col(r2),
@@ -131,6 +132,26 @@ def mont_constants(primes) -> dict[str, np.ndarray]:
     }
     out["r_mod_q_shoup"] = col([(x << 32) // int(p) for x, p in zip(r_mod, primes)])
     return out
+
+
+def shoup_precompute_dev(w, q, r_mod_q, r_mod_q_shoup, mu, qinv):
+    """floor(w·2^32/q) computed EXACTLY on device with u32-only math
+    (the on-device analog of :func:`shoup_precompute`, so key generation
+    can emit Shoup companions without a host round-trip).
+
+    Identity: w·2^32 = q·(w·mu) + w·rho with mu = ⌊2^32/q⌋, rho = 2^32 mod q,
+    so ⌊w·2^32/q⌋ = w·mu + ⌊w·rho/q⌋.  The second quotient comes from exact
+    division: X = w·rho − (w·rho mod q) is divisible by q and its quotient
+    (< q < 2^31) is X_lo·q⁻¹ mod 2^32 — low 32 bits suffice.
+
+    Constants (all per-limb, broadcastable): q, r_mod_q = 2^32 mod q (+ its
+    host Shoup companion), mu = ⌊2^32/q⌋, qinv = q⁻¹ mod 2^32.
+    Requires w < q.
+    """
+    m = shoup_mul(w, r_mod_q, r_mod_q_shoup, q)       # (w·rho) mod q
+    x_lo = mullo_u32(w, r_mod_q)                      # (w·rho) mod 2^32
+    quo = mullo_u32(x_lo - m, qinv)                   # ⌊w·rho/q⌋, exact
+    return mullo_u32(w, mu) + quo
 
 
 def shoup_precompute(w: np.ndarray, primes: np.ndarray) -> np.ndarray:

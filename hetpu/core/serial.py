@@ -28,7 +28,9 @@ from .keys import GaloisKeys, KSwitchKey, PublicKey, RelinKeys
 from .params import HeParams, Scheme
 
 MAGIC = b"HETPU"
-VERSION = 1
+VERSION = 2    # v2: key-switch keys carry Shoup companions (recomputed at
+               # load from the header's public prime list — wire size is
+               # unchanged; v1 blobs are rejected)
 
 TAG_PARAMS = 1
 TAG_CIPHERTEXT = 2
@@ -152,17 +154,27 @@ def load_public_key(blob: bytes) -> PublicKey:
     return PublicKey(data=jnp.asarray(_u32_from(payload, h["shape"])))
 
 
+def _ksk_from_wire(d: np.ndarray, primes) -> KSwitchKey:
+    """Rebuild a Shoup-form KSwitchKey from wire data [J, 2, L, N]: the
+    companion ⌊d·2^32/q⌋ is a pure function of (d, primes), so only the
+    values travel — half the bytes of shipping both arrays."""
+    from .modular import shoup_precompute
+    q = np.array(primes, dtype=np.uint32).reshape(1, 1, -1, 1)
+    return KSwitchKey(data=jnp.asarray(d),
+                      shoup=jnp.asarray(shoup_precompute(d, q)))
+
+
 def dump_relin_keys(rk: RelinKeys) -> bytes:
     d = np.asarray(rk.key.data)
     return _pack(TAG_RELIN, {"shape": list(d.shape)}, _u32_bytes(d))
 
 
-def load_relin_keys(blob: bytes) -> RelinKeys:
+def load_relin_keys(blob: bytes, ctx: Context) -> RelinKeys:
     tag, h, payload = _unpack(blob)
     if tag != TAG_RELIN:
         raise ValueError("not a relin-keys blob")
-    return RelinKeys(key=KSwitchKey(
-        data=jnp.asarray(_u32_from(payload, h["shape"]))))
+    return RelinKeys(key=_ksk_from_wire(_u32_from(payload, h["shape"]),
+                                        ctx.all_primes))
 
 
 def dump_galois_keys(gk: GaloisKeys) -> bytes:
@@ -172,7 +184,7 @@ def dump_galois_keys(gk: GaloisKeys) -> bytes:
     return _pack(TAG_GALOIS, header, b"".join(_u32_bytes(d) for d in ds))
 
 
-def load_galois_keys(blob: bytes) -> GaloisKeys:
+def load_galois_keys(blob: bytes, ctx: Context) -> GaloisKeys:
     tag, h, payload = _unpack(blob)
     if tag != TAG_GALOIS:
         raise ValueError("not a galois-keys blob")
@@ -180,6 +192,7 @@ def load_galois_keys(blob: bytes) -> GaloisKeys:
     per = int(np.prod(shape)) * 4 if shape else 0
     keys = []
     for i, _ in enumerate(h["elts"]):
-        keys.append(KSwitchKey(data=jnp.asarray(
-            _u32_from(payload[i * per:(i + 1) * per], shape))))
+        keys.append(_ksk_from_wire(
+            _u32_from(payload[i * per:(i + 1) * per], shape),
+            ctx.all_primes))
     return GaloisKeys(elts=tuple(h["elts"]), keys=tuple(keys))

@@ -47,8 +47,10 @@ def recv_request(t: Transport):
     params = serial.load_params(t.recv())
     rk_blob = t.recv()
     gk_blob = t.recv()
-    rk = serial.load_relin_keys(rk_blob) if rk_blob else None
-    gk = serial.load_galois_keys(gk_blob) if gk_blob else None
+    from ..core.context import Context
+    ctx = Context(params)
+    rk = serial.load_relin_keys(rk_blob, ctx) if rk_blob else None
+    gk = serial.load_galois_keys(gk_blob, ctx) if gk_blob else None
 
     from ..session import Session
     sess = Session.from_wire(params, rk=rk, gk=gk)

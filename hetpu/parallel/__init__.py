@@ -98,11 +98,14 @@ def bucketed_matvec(sess: Session, diags: Ciphertext, vec: Ciphertext,
     keys = jnp.stack([
         jnp.stack([sess.gk.key_for(galois.rotation_elt(n, int(s))).data
                    for s in row]) for row in steps])       # [n_dev,k_per,...]
+    keys_sh = jnp.stack([
+        jnp.stack([sess.gk.key_for(galois.rotation_elt(n, int(s))).shoup
+                   for s in row]) for row in steps])
     ev = sess.ev
     mc = sess.ctx.mont(lvl)
     q, qn = mc["q"], mc["qinv_neg"]
 
-    def shard_fn(diag_s, vec_d, perm_s, key_s):
+    def shard_fn(diag_s, vec_d, perm_s, key_s, key_sh_s):
         # diag_s [k_per, parts, L, N]; vec_d full ct data; perm_s [1,k_per,N]
         c0, c1 = vec_d[0], vec_d[1]
         ext = ev._decompose(c1, lvl)                      # hoisted, per device
@@ -111,8 +114,9 @@ def bucketed_matvec(sess: Session, diags: Ciphertext, vec: Ciphertext,
             p = perm_s[0, t]
             c0r = c0[..., p]
             extr = ext[..., p]
-            p0, p1 = ev._inner_product(extr, lvl,
-                                       KSwitchKey(data=key_s[0, t]))
+            p0, p1 = ev._inner_product(
+                extr, lvl,
+                KSwitchKey(data=key_s[0, t], shoup=key_sh_s[0, t]))
             rot = jnp.stack([mod_add(c0r, p0, q), p1])
             dt = diag_s[t]
             prod = ev.multiply(
@@ -123,9 +127,9 @@ def bucketed_matvec(sess: Session, diags: Ciphertext, vec: Ciphertext,
 
     fn = shard_map(
         shard_fn, mesh=mesh,
-        in_specs=(P(axis), P(), P(axis), P(axis)),
+        in_specs=(P(axis), P(), P(axis), P(axis), P(axis)),
         out_specs=P(), check_vma=False,
     )
-    out3 = fn(diags.data, vec.data, jnp.asarray(perms), keys)
+    out3 = fn(diags.data, vec.data, jnp.asarray(perms), keys, keys_sh)
     c3 = Ciphertext(data=out3, level=lvl, scale=vec.scale * diags.scale)
     return ev.rescale(ev.relinearize(c3, sess.rk))

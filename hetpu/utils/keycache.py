@@ -38,16 +38,20 @@ def cached_session(params: HeParams | str, *, seed: bytes,
     path = CACHE_DIR / f"sess_{tag}.npz"
     ctx = Context(params)
     if path.exists():
-        z = np.load(path, allow_pickle=False)
-        sk = SecretKey(data=jnp.asarray(z["sk"]), seed=seed)
-        pk = serial.load_public_key(z["pk"].tobytes())
-        rk = serial.load_relin_keys(z["rk"].tobytes())
-        gk = serial.load_galois_keys(z["gk"].tobytes())
-        return Session(
-            ctx=ctx, encoder=CkksEncoder(ctx), ev=Evaluator(ctx), rk=rk, gk=gk,
-            encryptor=Encryptor(ctx, public_key=pk, secret_key=sk),
-            decryptor=Decryptor(ctx, sk),
-        )
+        try:
+            z = np.load(path, allow_pickle=False)
+            sk = SecretKey(data=jnp.asarray(z["sk"]), seed=seed)
+            pk = serial.load_public_key(z["pk"].tobytes())
+            rk = serial.load_relin_keys(z["rk"].tobytes(), ctx)
+            gk = serial.load_galois_keys(z["gk"].tobytes(), ctx)
+            return Session(
+                ctx=ctx, encoder=CkksEncoder(ctx), ev=Evaluator(ctx),
+                rk=rk, gk=gk,
+                encryptor=Encryptor(ctx, public_key=pk, secret_key=sk),
+                decryptor=Decryptor(ctx, sk),
+            )
+        except ValueError:
+            path.unlink()      # stale wire version — regenerate below
     sess = Session.create(params, seed=seed, galois_steps=galois_steps)
     CACHE_DIR.mkdir(parents=True, exist_ok=True)
     kg_sk = sess.decryptor.sk

@@ -55,10 +55,12 @@ def test_serial_roundtrips(client, rng):
     back = serial.load_ciphertext(serial.dump_ciphertext(ct), sess.ctx)
     assert back.level == ct.level and back.scale == ct.scale
     np.testing.assert_array_equal(np.asarray(back.data), np.asarray(ct.data))
-    rk2 = serial.load_relin_keys(serial.dump_relin_keys(sess.rk))
+    rk2 = serial.load_relin_keys(serial.dump_relin_keys(sess.rk), sess.ctx)
     np.testing.assert_array_equal(np.asarray(rk2.key.data),
                                   np.asarray(sess.rk.key.data))
-    gk2 = serial.load_galois_keys(serial.dump_galois_keys(sess.gk))
+    np.testing.assert_array_equal(np.asarray(rk2.key.shoup),
+                                  np.asarray(sess.rk.key.shoup))
+    gk2 = serial.load_galois_keys(serial.dump_galois_keys(sess.gk), sess.ctx)
     assert gk2.elts == sess.gk.elts
 
 
