@@ -172,14 +172,20 @@ def _digit_matrix_right(T: np.ndarray, q: int) -> np.ndarray:
         d.transpose(0, 2, 3, 1).reshape(4 * n_in, 4 * n_out))
 
 
+_KSUM = 0x01010101          # 1 + 2^8 + 2^16 + 2^24 (offset-sum weight)
+
+
 def _recombine_consts(primes, extra: int | None, per_limb=None):
-    """c_j = 2^{8j} * extra * per_limb[l] mod q [L, 4] (+ Shoup), and the
-    offset correction corr = sum_j OFF*c_j mod q [L, 1].  ``per_limb``
-    lets callers fold an arbitrary per-limb constant multiply (e.g. a
-    digit-decomposition D̂⁻¹ or an FBC P̂⁻¹) into the transform epilogue
-    for free."""
+    """Carry-save epilogue constants: the recombination forms the EXACT
+    64-bit integer S = Σ_j 2^{8j}(G_j + OFF) as a (s_lo, s_hi) u32 pair
+    (see _carry_save), so  y·mult ≡ c·s_lo + cR·s_hi − corr (mod q)  with
+    c = mult, cR = mult·2^32, corr = mult·OFF·0x01010101 — TWO Shoup
+    multiplies per element instead of four.  ``extra``/-1/``per_limb``
+    fold the Montgomery (±R) and arbitrary per-limb epilogue constants in,
+    exactly as before.  Returns (c, c_shoup, cR, cR_shoup, corr), [L, 1]."""
     L = len(primes)
-    c = np.zeros((L, 4), dtype=np.uint32)
+    c = np.zeros((L, 1), dtype=np.uint32)
+    cR = np.zeros((L, 1), dtype=np.uint32)
     corr = np.zeros((L, 1), dtype=np.uint32)
     for li, q in enumerate(primes):
         if extra is None:
@@ -190,14 +196,30 @@ def _recombine_consts(primes, extra: int | None, per_limb=None):
             mult = extra % q
         if per_limb is not None:
             mult = mult * int(per_limb[li]) % q
-        tot = 0
-        for j in range(4):
-            cj = (1 << (8 * j)) * mult % q
-            c[li, j] = cj
-            tot = (tot + int(_OFF) * cj) % q
-        corr[li, 0] = tot
+        c[li, 0] = mult % q
+        cR[li, 0] = (mult << 32) % q
+        corr[li, 0] = mult * int(_OFF) * _KSUM % q
     qcol = np.array([int(p) for p in primes], dtype=np.uint32).reshape(-1, 1)
-    return c, shoup_precompute(c, qcol), corr
+    return (c, shoup_precompute(c, qcol),
+            cR, shoup_precompute(cR, qcol), corr)
+
+
+def _mid_tables(t_arr: np.ndarray, primes):
+    """Mid-stage tables fusing the inter-step twiddle multiply INTO the
+    carry-save recombination:  tw·y ≡ tw·s_lo + (tw·2^32)·s_hi − tw·OFF·K
+    (mod q), eliminating the separate twiddle Shoup pass.  t_arr:
+    [L, n1, n2] standard-form twiddles.  Returns 5 arrays [L, n1, n2]."""
+    L = t_arr.shape[0]
+    q3 = np.array([int(p) for p in primes],
+                  dtype=np.uint64).reshape(L, 1, 1)
+    t64 = t_arr.astype(np.uint64)
+    tw = t_arr.astype(np.uint32)
+    twR = ((t64 << np.uint64(32)) % q3).astype(np.uint32)
+    offk = np.uint64(int(_OFF) * _KSUM) % q3        # < q: product fits u64
+    corr = (t64 * offk % q3).astype(np.uint32)
+    q3u = q3.astype(np.uint32)
+    return (tw, shoup_precompute(tw, q3u),
+            twR, shoup_precompute(twR, q3u), corr)
 
 
 _MAT_CACHE: dict = {}
@@ -241,15 +263,31 @@ class MxuNttTables:
         self.q_col = np.ascontiguousarray(t.q.reshape(L, 1))
         self.q_half = np.array([q // 2 for q in t.primes],
                                dtype=np.int32).reshape(L, 1)
-        self.t_fwd, self.t_fwd_shoup = t.t_fwd, t.t_fwd_shoup
-        self.t_inv, self.t_inv_shoup = t.t_inv, t.t_inv_shoup
 
         self._t = t
 
-        self.plain = _recombine_consts(t.primes, None)     # c_j = 2^{8j}
+        self.plain = _recombine_consts(t.primes, None)     # identity epilogue
         self.to_mont = _recombine_consts(t.primes, R)      # fold xR
         self.strip = _recombine_consts(t.primes, -1)       # fold xR^{-1}
         self._extra_cache: dict = {}
+
+    # Mid-stage twiddle tables (twiddle multiply folded into the carry-save
+    # recombination) — built lazily per direction.
+    @property
+    def mid_fwd(self):
+        hit = self.__dict__.get("_mid_fwd")
+        if hit is None:
+            hit = self.__dict__["_mid_fwd"] = _mid_tables(
+                np.asarray(self._t.t_fwd), self.primes)
+        return hit
+
+    @property
+    def mid_inv(self):
+        hit = self.__dict__.get("_mid_inv")
+        if hit is None:
+            hit = self.__dict__["_mid_inv"] = _mid_tables(
+                np.asarray(self._t.t_inv), self.primes)
+        return hit
 
     def strip_extra(self, per_limb: np.ndarray):
         """strip-Montgomery consts with an extra per-limb multiplier
@@ -328,23 +366,53 @@ def _shoup_scalarish(x, w, ws, q):
     return jnp.where(r >= q, r - q, r)
 
 
+def _carry_save(g_list):
+    """Exact u32-pair split of S = Σ_j 2^{8j}·(G_j + OFF):  returns
+    (s_lo, s_hi) with S = s_hi·2^32 + s_lo.  G_j are int32 digit-plane
+    accumulators with |G_j| ≤ 2^23 (≤ 4n·128² by construction), so
+    U_j = G_j + OFF ∈ [0, 2^24] and every shift pair (x<<s, x>>32−s) plus
+    carry bits reconstructs the 56-bit sum exactly — pure adds/shifts/
+    compares, no multiplies (replaces two of the four Shoup passes the
+    old per-digit recombination needed)."""
+    u0 = (g_list[0] + _OFF).astype(_U32)
+    u1 = (g_list[1] + _OFF).astype(_U32)
+    u2 = (g_list[2] + _OFF).astype(_U32)
+    u3 = (g_list[3] + _OFF).astype(_U32)
+    t1 = u0 + (u1 << 8)
+    c1 = (t1 < u0).astype(_U32)
+    t2 = t1 + (u2 << 16)
+    c2 = (t2 < t1).astype(_U32)
+    s_lo = t2 + (u3 << 24)
+    c3 = (s_lo < t2).astype(_U32)
+    s_hi = (u1 >> 24) + (u2 >> 16) + (u3 >> 8) + c1 + c2 + c3
+    return s_lo, s_hi
+
+
+def _fold_mul(s_lo, s_hi, c, cs, cR, cRs, corr, q):
+    """y·mult mod q from a carry-save pair:  c·s_lo + cR·s_hi − corr,
+    where (c, cR, corr) fold mult, mult·2^32 and the OFF-sum correction
+    (built by _recombine_consts / _mid_tables)."""
+    a = _shoup_scalarish(s_lo, c, cs, q)
+    b = _shoup_scalarish(s_hi, cR, cRs, q)
+    s = a + b
+    s = jnp.where(s >= q, s - q, s)
+    return jnp.where(s >= corr, s - corr, s + (q - corr))
+
+
 # ----------------------------------------------------------------------
 # Pure-jnp path (CPU tests / readable reference)
 # ----------------------------------------------------------------------
 
 def _recombine_jnp(groups, consts, q3):
-    """groups: [..., 4, n1, n2] i32 -> u32 [..., n1, n2]."""
-    c, cs, corr = consts
-    L = c.shape[0]
-    acc = None
-    for j in range(4):
-        u = (groups[..., j, :, :] + _OFF).astype(_U32)
-        term = _shoup_scalarish(u, jnp.asarray(c[:, j]).reshape(L, 1, 1),
-                                jnp.asarray(cs[:, j]).reshape(L, 1, 1), q3)
-        s = term if acc is None else acc + term
-        acc = jnp.where(s >= q3, s - q3, s) if acc is not None else term
-    corr3 = jnp.asarray(corr).reshape(L, 1, 1)
-    return jnp.where(acc >= corr3, acc - corr3, acc + (q3 - corr3))
+    """groups: [..., 4, n1, n2] i32 -> u32 [..., n1, n2].  consts are
+    [L, 1]-shaped scalars or [L, n1, n2] vector tables (mid twiddle)."""
+    c, cs, cR, cRs, corr = consts
+    L = q3.shape[0]
+    shape = lambda a: jnp.asarray(a).reshape(L, 1, 1) if a.ndim == 2 \
+        else jnp.asarray(a)
+    s_lo, s_hi = _carry_save([groups[..., j, :, :] for j in range(4)])
+    return _fold_mul(s_lo, s_hi, shape(c), shape(cs), shape(cR), shape(cRs),
+                     shape(corr), q3)
 
 
 def _fwd_jnp(x4, mt: MxuNttTables, consts_last):
@@ -357,9 +425,7 @@ def _fwd_jnp(x4, mt: MxuNttTables, consts_last):
     g = jnp.einsum("lkz,...lzc->...lkc", jnp.asarray(mt.w1), xd,
                    preferred_element_type=_I32)
     g = g.reshape(*lead, L, 4, n1, n2)
-    y = _recombine_jnp(g, mt.plain, q3)
-    y = _shoup_scalarish(y, jnp.asarray(mt.t_fwd),
-                         jnp.asarray(mt.t_fwd_shoup), q3)
+    y = _recombine_jnp(g, mt.mid_fwd, q3)                  # twiddle folded
     ds2 = _extract_digit_list(y, q3, qh3)
     zd = jnp.concatenate(ds2, axis=-1)                     # [..., L, n1, 4n2]
     g2 = jnp.einsum("...laz,lzw->...law", zd, jnp.asarray(mt.w2t),
@@ -379,9 +445,7 @@ def _inv_jnp(x4, mt: MxuNttTables, consts_last):
     g = jnp.einsum("...laz,lzw->...law", xd, jnp.asarray(mt.m2t),
                    preferred_element_type=_I32)
     g = jnp.moveaxis(g.reshape(*lead, L, n1, 4, n2), -2, -3)
-    y = _recombine_jnp(g, mt.plain, q3)
-    y = _shoup_scalarish(y, jnp.asarray(mt.t_inv),
-                         jnp.asarray(mt.t_inv_shoup), q3)
+    y = _recombine_jnp(g, mt.mid_inv, q3)                  # twiddle folded
     ds2 = _extract_digit_list(y, q3, qh3)
     zd = jnp.concatenate(ds2, axis=-2)                     # [..., L, 4n1, n2]
     g2 = jnp.einsum("lkz,...lzc->...lkc", jnp.asarray(mt.m1), zd,
@@ -393,11 +457,12 @@ def _inv_jnp(x4, mt: MxuNttTables, consts_last):
 # Fused Pallas kernel: whole transform in VMEM per (row-block, limb)
 # ----------------------------------------------------------------------
 
-def _kernel_body(x, lmat, rmat, tw, tws, q, qh, cm, cms, corr_m, cl, cls,
-                 corr_l, left_first: bool, n1: int, n2: int):
-    """One [n1, n2] plane.  left_first=True: fwd (T1 @ x, tw, x @ T2^T
-    reversed...) — see callers for matrix roles; mid/last recombination
-    constants (cm*, cl*) are per-limb [4] scalars from SMEM."""
+def _kernel_body(x, lmat, rmat, mid, last, q, qh,
+                 left_first: bool, n1: int, n2: int):
+    """One [n1, n2] plane.  left_first=True: fwd (T1 @ x, mid recomb with
+    folded twiddle, x @ T2^T, last recomb with folded epilogue).  ``mid``
+    = 5 vector tables [n1, n2] (VMEM), ``last`` = 5 per-limb scalars
+    (SMEM); both feed the carry-save _fold_mul recombination."""
     def extract_rows(y):                       # -> [4*n1, n2] (i major)
         ds = _extract_digit_list(y, q, qh)
         return jnp.concatenate(ds, axis=0)
@@ -406,45 +471,28 @@ def _kernel_body(x, lmat, rmat, tw, tws, q, qh, cm, cms, corr_m, cl, cls,
         ds = _extract_digit_list(y, q, qh)
         return jnp.concatenate(ds, axis=1)
 
-    def recomb_rows(g, c, cs, corr):           # g [4*n1, n2] i32
-        acc = None
-        for j in range(4):
-            u = (g[j * n1:(j + 1) * n1] + _OFF).astype(_U32)
-            term = _shoup_scalarish(u, c[j], cs[j], q)
-            if acc is None:
-                acc = term
-            else:
-                s = acc + term
-                acc = jnp.where(s >= q, s - q, s)
-        return jnp.where(acc >= corr, acc - corr, acc + (q - corr))
+    def recomb_rows(g, consts):                # g [4*n1, n2] i32
+        s_lo, s_hi = _carry_save([g[j * n1:(j + 1) * n1] for j in range(4)])
+        return _fold_mul(s_lo, s_hi, *consts, q)
 
-    def recomb_cols(g, c, cs, corr):           # g [n1, 4*n2] i32
-        acc = None
-        for j in range(4):
-            u = (g[:, j * n2:(j + 1) * n2] + _OFF).astype(_U32)
-            term = _shoup_scalarish(u, c[j], cs[j], q)
-            if acc is None:
-                acc = term
-            else:
-                s = acc + term
-                acc = jnp.where(s >= q, s - q, s)
-        return jnp.where(acc >= corr, acc - corr, acc + (q - corr))
+    def recomb_cols(g, consts):                # g [n1, 4*n2] i32
+        s_lo, s_hi = _carry_save(
+            [g[:, j * n2:(j + 1) * n2] for j in range(4)])
+        return _fold_mul(s_lo, s_hi, *consts, q)
 
     if left_first:
         g = jax.lax.dot_general(lmat, extract_rows(x), (((1,), (0,)), ((), ())),
                                 preferred_element_type=_I32)
-        y = recomb_rows(g, cm, cms, corr_m)
-        y = _shoup_scalarish(y, tw, tws, q)
+        y = recomb_rows(g, mid)
         g2 = jax.lax.dot_general(extract_cols(y), rmat, (((1,), (0,)), ((), ())),
                                  preferred_element_type=_I32)
-        return recomb_cols(g2, cl, cls, corr_l)
+        return recomb_cols(g2, last)
     g = jax.lax.dot_general(extract_cols(x), rmat, (((1,), (0,)), ((), ())),
                             preferred_element_type=_I32)
-    y = recomb_cols(g, cm, cms, corr_m)
-    y = _shoup_scalarish(y, tw, tws, q)
+    y = recomb_cols(g, mid)
     g2 = jax.lax.dot_general(lmat, extract_rows(y), (((1,), (0,)), ((), ())),
                              preferred_element_type=_I32)
-    return recomb_rows(g2, cl, cls, corr_l)
+    return recomb_rows(g2, last)
 
 
 def _row_block(rows: int) -> int:
@@ -455,44 +503,48 @@ def _row_block(rows: int) -> int:
 
 
 @lru_cache(maxsize=None)
-def _pallas_call(n1: int, n2: int, L: int, rows: int, left_first: bool,
-                 which_last: str):
+def _pallas_call(n1: int, n2: int, L: int, rows: int, left_first: bool):
     rb = _row_block(rows)
 
-    def kernel(x_ref, lm_ref, rm_ref, tw_ref, tws_ref, q_ref, qh_ref,
-               cm_ref, cms_ref, corrm_ref, cl_ref, cls_ref, corrl_ref,
+    def kernel(x_ref, lm_ref, rm_ref,
+               m0_ref, m1_ref, m2_ref, m3_ref, m4_ref,
+               q_ref, qh_ref, c_ref, cs_ref, cR_ref, cRs_ref, corr_ref,
                out_ref):
-        l = pl.program_id(1)
+        l = pl.program_id(0)
         q = q_ref[l, 0]
         qh = qh_ref[l, 0]
-        cm = [cm_ref[l, j] for j in range(4)]
-        cms = [cms_ref[l, j] for j in range(4)]
-        cl = [cl_ref[l, j] for j in range(4)]
-        cls = [cls_ref[l, j] for j in range(4)]
+        mid = (m0_ref[0], m1_ref[0], m2_ref[0], m3_ref[0], m4_ref[0])
+        last = (c_ref[l, 0], cs_ref[l, 0], cR_ref[l, 0], cRs_ref[l, 0],
+                corr_ref[l, 0])
         for p in range(rb):
             out_ref[p, 0] = _kernel_body(
-                x_ref[p, 0], lm_ref[l], rm_ref[l], tw_ref[l], tws_ref[l],
-                q, qh, cm, cms, corrm_ref[l, 0], cl, cls, corrl_ref[l, 0],
-                left_first, n1, n2)
+                x_ref[p, 0], lm_ref[0], rm_ref[0], mid, last,
+                q, qh, left_first, n1, n2)
 
-    vmem = lambda: pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
+    # grid is (limb, row-block) — rows INNERMOST, so the per-limb digit
+    # matrices and mid twiddle tables are DMA'd once per limb and reused
+    # across every row block.
+    by_limb = lambda shape: pl.BlockSpec(
+        (1, *shape), lambda l, r: (l,) + (0,) * len(shape),
+        memory_space=pltpu.VMEM)
 
-    def call(x4, lm, rm, tw, tws, q, qh, cm, cms, corrm, cl, cls, corrl):
+    def call(x4, lm, rm, mid, q, qh, last):
         out = pl.pallas_call(
             kernel,
-            grid=(rows // rb, L),
+            grid=(L, rows // rb),
             in_specs=[
-                pl.BlockSpec((rb, 1, n1, n2), lambda r, l: (r, l, 0, 0),
+                pl.BlockSpec((rb, 1, n1, n2), lambda l, r: (r, l, 0, 0),
                              memory_space=pltpu.VMEM),
-                vmem(), vmem(), vmem(), vmem(),
+                by_limb(lm.shape[1:]), by_limb(rm.shape[1:]),
+                by_limb((n1, n2)), by_limb((n1, n2)), by_limb((n1, n2)),
+                by_limb((n1, n2)), by_limb((n1, n2)),
                 smem(), smem(), smem(), smem(), smem(), smem(), smem(),
-                smem(),
             ],
-            out_specs=pl.BlockSpec((rb, 1, n1, n2), lambda r, l: (r, l, 0, 0),
+            out_specs=pl.BlockSpec((rb, 1, n1, n2), lambda l, r: (r, l, 0, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rows, L, n1, n2), jnp.uint32),
-        )(x4, lm, rm, tw, tws, q, qh, cm, cms, corrm, cl, cls, corrl)
+        )(x4, lm, rm, *mid, q, qh, *last)
         return out
 
     return call
@@ -504,21 +556,11 @@ def _run_pallas(a, mt: MxuNttTables, *, forward: bool, consts_last):
     rows = int(np.prod(lead)) if lead else 1
     x4 = a.reshape(rows, L, mt.n1, mt.n2)
     if forward:
-        lm, rm = mt.w1, mt.w2t
-        tw, tws = mt.t_fwd, mt.t_fwd_shoup
+        lm, rm, mid = mt.w1, mt.w2t, mt.mid_fwd
     else:
-        lm, rm = mt.m1, mt.m2t
-        tw, tws = mt.t_inv, mt.t_inv_shoup
-    cm, cms, corrm = mt.plain
-    cl, cls, corrl = consts_last
-    which = "plain"
-    if consts_last is mt.to_mont:
-        which = "mont"
-    elif consts_last is mt.strip:
-        which = "strip"
-    call = _pallas_call(mt.n1, mt.n2, L, rows, forward, which)
-    out = call(x4, lm, rm, tw, tws, mt.q_col, mt.q_half,
-               cm, cms, corrm, cl, cls, corrl)
+        lm, rm, mid = mt.m1, mt.m2t, mt.mid_inv
+    call = _pallas_call(mt.n1, mt.n2, L, rows, forward)
+    out = call(x4, lm, rm, mid, mt.q_col, mt.q_half, consts_last)
     return out.reshape(*lead, L, mt.n)
 
 

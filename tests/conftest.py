@@ -19,6 +19,15 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compile cache: the suite's wall-clock is dominated by XLA CPU
+# compiles (every (op, level, shape) pair is a distinct executable); cache
+# them across runs so repeat invocations are fast.
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("HETPU_TEST_CACHE",
+                                 "/tmp/hetpu_jax_cache_cpu"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
