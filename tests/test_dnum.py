@@ -6,13 +6,14 @@ import numpy as np
 import pytest
 
 from hetpu.session import Session
+from hetpu.utils.keycache import cached_session
 
 SEED = b"\x08" * 32
 
 
 @pytest.fixture(scope="module")
 def sess():
-    return Session.create("test_dnum", seed=SEED, galois_steps=[1, 2, 3])
+    return cached_session("test_dnum", seed=SEED, galois_steps=[1, 2, 3])
 
 
 def test_digit_partition(sess):

@@ -5,13 +5,14 @@ import pytest
 
 from hetpu.ops import HE
 from hetpu.session import Session
+from hetpu.utils.keycache import cached_session
 
 SEED = b"\x0a" * 32
 
 
 @pytest.fixture(scope="module")
 def sess():
-    return Session.create("test_tiny", seed=SEED, galois_steps=[1, 2, -1])
+    return cached_session("test_tiny", seed=SEED, galois_steps=[1, 2, -1])
 
 
 def test_dsl_arithmetic(sess, rng):

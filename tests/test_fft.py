@@ -7,6 +7,7 @@ import pytest
 
 from hetpu import fft as hefft
 from hetpu.session import Session
+from hetpu.utils.keycache import cached_session
 
 SEED = b"\x04" * 32
 N_FFT = 8
@@ -14,7 +15,7 @@ N_FFT = 8
 
 @pytest.fixture(scope="module")
 def sess():
-    return Session.create("test_deep", seed=SEED,
+    return cached_session("test_deep", seed=SEED,
                           galois_steps=[1, -1, 2, -2, 4, -4])
 
 

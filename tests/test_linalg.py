@@ -6,13 +6,14 @@ import pytest
 
 from hetpu.linalg import BatchedMatrix, BatchedVector, Matrix
 from hetpu.session import Session
+from hetpu.utils.keycache import cached_session
 
 SEED = b"\x02" * 32
 
 
 @pytest.fixture(scope="module")
 def sess():
-    return Session.create(
+    return cached_session(
         "test_tiny", seed=SEED,
         galois_steps=[1, 2, 3, 4, 5, 6, 7, 8, -1, -2, -4, -8, -16],
     )

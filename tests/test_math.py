@@ -7,13 +7,14 @@ import pytest
 
 from hetpu import math as hemath
 from hetpu.session import Session
+from hetpu.utils.keycache import cached_session
 
 SEED = b"\x03" * 32
 
 
 @pytest.fixture(scope="module")
 def sess():
-    return Session.create("test_deep", seed=SEED, galois_steps=[1])
+    return cached_session("test_deep", seed=SEED, galois_steps=[1])
 
 
 def test_signed_inv(sess, rng):

@@ -6,12 +6,13 @@ import pytest
 
 from hetpu.models.least_squares import least_squares_2d
 from hetpu.session import Session
+from hetpu.utils.keycache import cached_session
 
 SEED = b"\x06" * 32
 
 
 def test_least_squares_2d(rng):
-    sess = Session.create("test_deep", seed=SEED, galois_steps=[1, 2, 4])
+    sess = cached_session("test_deep", seed=SEED, galois_steps=[1, 2, 4])
     # 5 data points on a noisy line (reference uses 5 points)
     n = 5
     x = rng.uniform(0.5, 2.0, n)

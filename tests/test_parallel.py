@@ -8,13 +8,14 @@ import pytest
 
 from hetpu import parallel
 from hetpu.session import Session
+from hetpu.utils.keycache import cached_session
 
 SEED = b"\x09" * 32
 
 
 @pytest.fixture(scope="module")
 def sess():
-    return Session.create("test_tiny", seed=SEED,
+    return cached_session("test_tiny", seed=SEED,
                           galois_steps=list(range(8)))
 
 
