@@ -36,6 +36,9 @@ class CkksEncoder:
         if ctx.params.scheme != Scheme.CKKS:
             raise ValueError("CkksEncoder requires CKKS params")
         self.ctx = ctx
+        # host-encode counter: lets tests assert that hot loops hit the
+        # session plaintext cache instead of re-encoding (VERDICT r1 §weak-2)
+        self.encode_count = 0
         n = ctx.params.poly_degree
         self.n = n
         self.slots = n // 2
@@ -93,6 +96,7 @@ class CkksEncoder:
         """Encode complex values into an NTT-domain plaintext with Shoup
         tables (ready for 6-int-mul ct·pt multiply)."""
         ctx = self.ctx
+        self.encode_count += 1
         if level is None:
             level = ctx.num_data - 1
         if scale is None:

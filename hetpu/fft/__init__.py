@@ -81,11 +81,18 @@ def fft(sess: Session, ct: Ciphertext, inverse: bool = False) -> Ciphertext:
     while m <= n:
         tw, iu, iv, add_mask = _stage_arrays(n, m, inverse, last=(m == n))
         # one batched plaintext multiply: odd positions × twiddle, even × 1
-        # (the even×1 keeps levels aligned — reference he_fft.cpp:46-47)
-        pts = [sess.encode(tw[i], level=ct.level) for i in range(n)]
-        pt = Plaintext(data=jnp.stack([p.data for p in pts]),
-                       shoup=jnp.stack([p.shoup for p in pts]),
-                       level=ct.level, scale=pts[0].scale)
+        # (the even×1 keeps levels aligned — reference he_fft.cpp:46-47).
+        # The stacked twiddle plaintext is built ONCE per (n, stage, level)
+        # and cached — the reference re-encodes per call (he_fft.cpp:40-61,
+        # the §2c quirk this build eliminates).
+        key = ("fft_stage", n, m, inverse, m == n, ct.level)
+        pt = sess._pt_cache.get(key)
+        if pt is None:
+            pts = [sess.encode(tw[i], level=ct.level) for i in range(n)]
+            pt = Plaintext(data=jnp.stack([p.data for p in pts]),
+                           shoup=jnp.stack([p.shoup for p in pts]),
+                           level=ct.level, scale=pts[0].scale)
+            sess._pt_cache[key] = pt
         twisted = ev.rescale(ev.multiply_plain(ct, pt))
         d = twisted.data
         q = sess.ctx.mont(twisted.level)["q"]
@@ -159,10 +166,11 @@ def bfft(sess: Session, ct: Ciphertext, n: int,
         steps = [h] if D2 is None else [h, -h]
         rots = ev.rotate_hoisted(ct, steps, gk)
         terms = []
-        for D, src in zip((D0, D1, D2), [ct] + rots):
+        for di, (D, src) in enumerate(zip((D0, D1, D2), [ct] + rots)):
             if D is None:
                 continue
-            pt = sess.encode(D, level=src.level)
+            pt = sess.cached_encode(("bfft_mask", n, h, inverse, last, di),
+                                    D, level=src.level)
             terms.append(ev.multiply_plain(src, pt))
         q = sess.ctx.mont(ct.level)["q"]
         acc = terms[0].data

@@ -26,7 +26,8 @@ def mult_const_to(sess: Session, ct: Ciphertext, value,
     """ct · value with the constant's encode scale solved so the result
     (after one rescale) has EXACTLY target_scale."""
     q = float(sess.ctx.params.moduli[ct.level])
-    pt = sess.encode(value, level=ct.level, scale=target_scale * q / ct.scale)
+    pt = sess.cached_encode(("const", complex(value)), value,
+                            level=ct.level, scale=target_scale * q / ct.scale)
     return sess.ev.rescale(sess.ev.multiply_plain(ct, pt))
 
 

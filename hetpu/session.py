@@ -31,6 +31,11 @@ class Session:
     gk: GaloisKeys | None = None
     encryptor: Encryptor | None = None
     decryptor: Decryptor | None = None
+    # plaintext-constant cache: (key, level, scale) → device-resident
+    # Plaintext.  Kills the reference's O(n log n) per-call host re-encoding
+    # quirk (``he_fft.cpp:40-61``, SURVEY.md §2c) — twiddles/masks/constants
+    # are encoded once per (key, level, scale) and reused forever.
+    _pt_cache: dict = dfield(default_factory=dict, repr=False)
 
     # -- construction ---------------------------------------------------
     @classmethod
@@ -75,8 +80,29 @@ class Session:
         return self.decryptor.decrypt(ct)
 
     def const_like(self, ct: Ciphertext, values) -> Plaintext:
-        """Encode at ct's exact level+scale (for exact additive alignment)."""
+        """Encode at ct's exact level+scale (for exact additive alignment).
+        Scalar constants go through the plaintext cache."""
+        if np.isscalar(values) or getattr(values, "ndim", 1) == 0:
+            return self.cached_encode(("const", complex(values)), values,
+                                      level=ct.level, scale=ct.scale)
         return self.encode(values, level=ct.level, scale=ct.scale)
+
+    def cached_encode(self, key, values, level=None, scale=None) -> Plaintext:
+        """Encode through the session plaintext cache.  ``key`` must
+        uniquely identify ``values`` (hashable); level/scale are folded into
+        the cache key after default resolution.  ``values`` may be a
+        zero-arg callable, only invoked on a miss."""
+        if level is None:
+            level = self.ctx.num_data - 1
+        if scale is None:
+            scale = self.ctx.params.scale
+        k = (key, level, float(scale))
+        pt = self._pt_cache.get(k)
+        if pt is None:
+            v = values() if callable(values) else values
+            pt = self.encode(v, level=level, scale=scale)
+            self._pt_cache[k] = pt
+        return pt
 
     # -- level / scale management (he::util parity) --------------------
     def chain_index(self, ct: Ciphertext) -> int:
@@ -89,7 +115,8 @@ class Session:
         scale-preserving version of the reference's drop_chain_levels
         (``he_util.h:27-55``, multiply-by-1 + rescale)."""
         q_last = float(self.ctx.params.moduli[ct.level])
-        one = self.encode(1.0, level=ct.level, scale=q_last)
+        one = self.cached_encode(("const", 1.0 + 0j), 1.0,
+                                 level=ct.level, scale=q_last)
         return self.ev.rescale(self.ev.multiply_plain(ct, one))
 
     def reach_level(self, ct: Ciphertext, target: int) -> Ciphertext:

@@ -67,3 +67,24 @@ def test_bfft_roundtrip(sess, rng):
     back = hefft.ibfft(sess, hefft.bfft(sess, ct, N_FFT), N_FFT)
     got = sess.decrypt(back)[:N_FFT]
     np.testing.assert_allclose(got, sig, atol=1e-3)
+
+
+def test_fft_plaintext_cache(sess, rng):
+    """Second fft() call performs ZERO host encodes (VERDICT r1: the
+    'twiddles precomputed once' claim must be real — SURVEY.md §2c)."""
+    sig = rng.uniform(-1, 1, N_FFT) + 1j * rng.uniform(-1, 1, N_FFT)
+    ct = _encrypt_coeff_batch(sess, sig)
+    _ = hefft.fft(sess, ct)          # populate cache
+    before = sess.encoder.encode_count
+    _ = hefft.fft(sess, ct)
+    assert sess.encoder.encode_count == before
+
+
+def test_bfft_plaintext_cache(sess, rng):
+    sig = rng.uniform(-1, 1, N_FFT) + 1j * rng.uniform(-1, 1, N_FFT)
+    tiled = np.tile(sig, sess.slots // N_FFT)
+    ct = sess.encrypt(tiled)
+    _ = hefft.bfft(sess, ct, N_FFT)
+    before = sess.encoder.encode_count
+    _ = hefft.bfft(sess, ct, N_FFT)
+    assert sess.encoder.encode_count == before

@@ -140,3 +140,34 @@ def test_matrix_slot_batched(sess, rng):
     got = ma.matmul(mb).decrypt_batch(batch).real
     want = np.einsum("ikb,kjb->ijb", a, b)
     np.testing.assert_allclose(got, want, atol=1e-2)
+
+
+def test_batched_matrix_rectangular(sess, rng):
+    """Non-square col layout + rectangular diag×col matmul (reference
+    supports non-square dims via get_col_dim/get_row_dim,
+    he_linalg.h:318-330)."""
+    a = rng.uniform(-1, 1, (4, 4))
+    b = rng.uniform(-1, 1, (4, 2))
+    ma = BatchedMatrix.encrypt(sess, a, layout="diag")
+    mb = BatchedMatrix.encrypt(sess, b, layout="col")
+    assert (mb.row_dim, mb.col_dim) == (4, 2)
+    out = ma.matmul(mb)
+    assert (out.row_dim, out.col_dim) == (4, 2)
+    np.testing.assert_allclose(out.decrypt().real, a @ b, atol=1e-2)
+
+
+def test_batched_matrix_transp_flag(sess, rng):
+    """Lazy transpose flag parity: matmul dispatches the col×colᵀ path when
+    other.transp() is set (reference he_linalg.cpp:947-973, demo
+    matrix_operations.cpp:1125-1128)."""
+    a = rng.uniform(-1, 1, (4, 4))
+    b = rng.uniform(-1, 1, (4, 4))
+    ma = BatchedMatrix.encrypt(sess, a, layout="col")
+    mb = BatchedMatrix.encrypt(sess, b, layout="col")
+    mbt = mb.transp()
+    assert mbt.row_dim == 4 and mbt.transposed
+    np.testing.assert_allclose(mbt.decrypt().real, b.T, atol=1e-4)
+    got = ma.matmul(mbt).decrypt().real
+    np.testing.assert_allclose(got, a @ b.T, atol=1e-2)
+    with np.testing.assert_raises(ValueError):
+        ma.matmul(mb)          # col×col without transp must be rejected
