@@ -20,6 +20,7 @@ no numbers — BASELINE.md).
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import numpy as np
@@ -33,8 +34,12 @@ def main():
     sess = cached_session("bench_n14", seed=b"\x21" * 32, galois_steps=[1])
     rng = np.random.default_rng(0)
 
-    BATCH = 32         # ops counted per ciphertext pair
-    K = 10             # chained steps per dispatch
+    BATCH = int(os.environ.get("HETPU_BENCH_BATCH", "32"))
+    # chained steps per dispatch: the axon relay costs ~23 ms per dispatched
+    # executable (scripts/probe_k.py), so short chains measure RPC overhead,
+    # not the framework; a long scan chain amortizes it and stays a true
+    # sequential dependency chain
+    K = int(os.environ.get("HETPU_BENCH_K", "192"))
     base = sess.encrypt(rng.uniform(-1, 1, sess.slots))
     b_ct = sess.encrypt(rng.uniform(-1, 1, sess.slots))
     a = base.with_(data=jnp.stack([base.data] * BATCH))
@@ -57,7 +62,7 @@ def main():
     # compile + warmup
     _ = int(run(a.data, b.data, jnp.uint32(0)))
 
-    reps = 4
+    reps = int(os.environ.get("HETPU_BENCH_REPS", "2"))
     tag = jnp.uint32(0)
     t0 = time.perf_counter()
     for _ in range(reps):

@@ -89,6 +89,11 @@ class BfvSession:
     def multiply(self, a, b) -> Ciphertext:
         return self.scheme.multiply(a, b, self.ev)
 
+    def mod_switch(self, ct) -> Ciphertext:
+        """SEAL BFV mod_switch_to_next: drop the last prime by
+        divide-and-round (message invariant)."""
+        return self.scheme.mod_switch(ct)
+
     def multiply_relin(self, a, b) -> Ciphertext:
         return self.ev.relinearize(self.multiply(a, b), self.rk)
 

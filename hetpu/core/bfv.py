@@ -11,18 +11,27 @@ TPU-native design decisions:
   (rotate_rows = galois element 5^k, rotate_columns = conjugation element,
   sharing keys and kernels).  Only multiply and decrypt round-trip through
   the coefficient domain.
-* Multiply is the HPS RNS variant: lift to an auxiliary basis B with
-  |B| = |Q|+2 extra 30-bit primes (covers the t·N·Q/2 bound), tensor in
-  both bases on-device, scale by t/Q via two exact fast base conversions
-  (float64 α-correction — exact for centered inputs, the standard HPS
-  trick), land back in Q.
+* The plaintext modulus may be a CRT product t = t₁·t₂ of ~30-bit
+  NTT-friendly primes (SEAL's 60-bit ``PlainModulus::Batching`` parity,
+  reference ``matrix_operations.cpp:360-361``): batching encodes/decodes
+  per factor and CRT-combines host-side.  With ``plain_batching=False``
+  any t works (e.g. the reference matpow demo's t = 2^32,
+  ``matrix_operations.cpp:640``) via coefficient encoding.
+* Multiply is the HPS RNS variant at ANY level: lift to an auxiliary
+  basis B sized so that B > t·N·Q_ℓ (covers the scaled product), tensor
+  in both bases on-device, scale by t/Q_ℓ via two exact fast base
+  conversions (two-float EFT α-correction — exact for valid inputs),
+  land back in Q_ℓ.  Per-level plans are built lazily.
+* Modulus switching (SEAL BFV ``mod_switch_to_next``) divides-and-rounds
+  by the dropped prime — the same kernel as CKKS rescale — shrinking ct
+  size for deep chains (reference matpow A⁵ semantics).
 * Exactness is unit-tested against big-integer reference math
   (tests/test_bfv.py) — the check SEAL gets from its own nature.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from functools import lru_cache
 
 import numpy as np
 import jax
@@ -32,21 +41,17 @@ from . import galois, nt, random as rnd
 from .ciphertext import Ciphertext, Plaintext
 from .context import Context
 from .encrypt import Encryptor
-from .evaluator import Evaluator
-from .keys import KeyGenerator
+from .evaluator import Evaluator, _div_round_last
 from .modular import (
-    mod_add, mod_neg, mod_sub, mont_mul, shoup_mul, shoup_precompute,
-    mont_constants,
+    mod_add, mod_sub, mont_mul, shoup_mul, shoup_precompute, mont_constants,
 )
-from .ntt import NttTables, build_best_tables, build_tables, ntt_fwd, ntt_fwd_mont, ntt_inv
+from .ntt import build_best_tables, build_tables, ntt_fwd, ntt_fwd_mont, ntt_inv
 from .params import HeParams, Scheme
+from .rns import FbcPlan, fbc_apply, make_fbc  # shared RNS machinery
 
 
 def _col(xs, dt=np.uint32):
     return np.array(xs, dtype=dt).reshape(-1, 1)
-
-
-from .rns import FbcPlan, fbc_apply, make_fbc  # shared RNS machinery
 
 
 # ======================================================================
@@ -64,33 +69,10 @@ class BfvScheme:
         self.t = p.plain_modulus
         n = p.poly_degree
         self.n = n
-        Q_primes = list(p.moduli)
-        L = len(Q_primes)
-        # auxiliary basis B: L+2 fresh 30-bit NTT primes (covers t·N·Q/2)
-        used = set(Q_primes) | set(p.special_moduli) | {self.t}
-        cand = nt.gen_primes(30, L + 2 + len(used) + 4, 2 * n)
-        B_primes = [q for q in cand if q not in used][: L + 2]
-        self.B_primes = B_primes
-        self.tables_B = build_best_tables(n, B_primes)
-        self.mont_B = mont_constants(B_primes)
-        self.tables_t = build_tables(n, (self.t,))
-        # Δ = floor(Q/t) mod q_i
-        Q = 1
-        for q in Q_primes:
-            Q *= q
-        self.Q = Q
-        delta = Q // self.t
-        self.delta_mod_q = _col([delta % q for q in Q_primes])
-        self.delta_shoup = shoup_precompute(self.delta_mod_q, _col(Q_primes))
-        # t mod each prime of Q∪B, and Q^{-1} mod b_j
-        QB = Q_primes + B_primes
-        self.t_mod_qb = _col([self.t % r for r in QB])
-        self.t_shoup_qb = shoup_precompute(self.t_mod_qb, _col(QB))
-        self.qinv_mod_b = _col([nt.modinv(Q % b, b) for b in B_primes])
-        self.qinv_shoup_b = shoup_precompute(self.qinv_mod_b, _col(B_primes))
-        # base-conversion plans
-        self.fbc_q_to_b = make_fbc(Q_primes, B_primes)
-        self.fbc_b_to_q = make_fbc(B_primes, Q_primes)
+        self.batching = p.plain_batching
+        self.t_factors = tuple(p.plain_factors) or (self.t,)
+        if self.batching:
+            self.tables_t = {f: build_tables(n, (f,)) for f in self.t_factors}
         # slot layout: slot (row r, col c) ↔ exponent ±5^c (SEAL batching
         # semantics: elt 5^k rotates rows, conjugation swaps rows)
         half = n // 2
@@ -104,8 +86,72 @@ class BfvScheme:
         self.slot_to_eval = slot_to_eval
 
     # ------------------------------------------------------------------
-    # batching encoder (SEAL BatchEncoder parity)
+    # per-level constants (Q_ℓ changes under mod-switch)
     # ------------------------------------------------------------------
+
+    @lru_cache(maxsize=None)
+    def _lvl(self, level: int) -> dict:
+        ctx = self.ctx
+        n = self.n
+        Q_primes = list(ctx.params.moduli[: level + 1])
+        Q = 1
+        for q in Q_primes:
+            Q *= q
+        # auxiliary basis B: fresh 30-bit NTT primes with B > 2·t·N·Q
+        # (covers both the centered tensor product N·Q²/4 < Q·B/2 and the
+        # scaled value |t·x/Q| ≤ t·N·Q/4 < B/2)
+        used = set(ctx.all_primes) | set(self.t_factors)
+        bound = 2 * self.t * n * Q
+        B_primes: list[int] = []
+        Bprod = 1
+        for q in nt.gen_primes(30, 64, 2 * n):
+            if q in used:
+                continue
+            B_primes.append(q)
+            Bprod *= q
+            if Bprod > bound:
+                break
+        assert Bprod > bound, "aux basis generation exhausted"
+        delta = Q // self.t
+        QB = Q_primes + B_primes
+        d = {
+            "Q": Q,
+            "B_primes": B_primes,
+            "tables_B": build_best_tables(n, B_primes),
+            "mont_B": mont_constants(B_primes),
+            "delta_mod_q": _col([delta % q for q in Q_primes]),
+            "t_mod_qb": _col([self.t % r for r in QB]),
+            "qinv_mod_b": _col([nt.modinv(Q % b, b) for b in B_primes]),
+            "fbc_q_to_b": make_fbc(Q_primes, B_primes),
+            "fbc_b_to_q": make_fbc(B_primes, Q_primes),
+        }
+        d["delta_shoup"] = shoup_precompute(d["delta_mod_q"], _col(Q_primes))
+        d["t_shoup_qb"] = shoup_precompute(d["t_mod_qb"], _col(QB))
+        d["qinv_shoup_b"] = shoup_precompute(d["qinv_mod_b"], _col(B_primes))
+        return d
+
+    # ------------------------------------------------------------------
+    # batching encoder (SEAL BatchEncoder parity, CRT factors)
+    # ------------------------------------------------------------------
+
+    def _coeffs_mod_t_from_values(self, values) -> np.ndarray:
+        """Integer slot vector (mod t) → poly coefficients mod t (object
+        ints, CRT-combined over the batching factors)."""
+        v = np.zeros(self.n, dtype=object)
+        vals = np.asarray(values).astype(object).ravel()
+        v[: vals.shape[0]] = [int(x) % self.t for x in vals]
+        ev = np.zeros(self.n, dtype=object)
+        ev[self.slot_to_eval] = v
+        coeffs = np.zeros(self.n, dtype=object)
+        for f in self.t_factors:
+            ev_f = (ev % f).astype(np.uint64).astype(np.uint32)
+            c_f = np.asarray(ntt_inv(jnp.asarray(ev_f[None, :]),
+                                     self.tables_t[f]))[0]
+            # CRT: coeffs ≡ c_f (mod f)
+            fhat = self.t // f
+            coef = fhat * nt.modinv(fhat % f, f) % self.t
+            coeffs = (coeffs + c_f.astype(object) * coef) % self.t
+        return coeffs
 
     def encode(self, values, level: int | None = None) -> Plaintext:
         """Integer vector (≤ N values, mod t) → plaintext whose poly is
@@ -113,16 +159,16 @@ class BfvScheme:
         ctx = self.ctx
         if level is None:
             level = ctx.num_data - 1
-        v = np.zeros(self.n, dtype=np.int64)
-        vals = np.asarray(values, dtype=np.int64).ravel()
-        v[: vals.shape[0]] = vals % self.t
-        ev = np.zeros(self.n, dtype=np.uint32)
-        ev[self.slot_to_eval] = v.astype(np.uint32)
-        coeffs_t = np.asarray(ntt_inv(jnp.asarray(ev[None, :]), self.tables_t))[0]
+        if self.batching:
+            coeffs = self._coeffs_mod_t_from_values(values)
+        else:
+            # coefficient encoding: values are poly coefficients directly
+            coeffs = np.zeros(self.n, dtype=object)
+            vals = np.asarray(values).astype(object).ravel()
+            coeffs[: vals.shape[0]] = [int(x) % self.t for x in vals]
         # centered lift to Q basis (small-norm representative)
-        c = coeffs_t.astype(np.int64)
-        c = np.where(c > self.t // 2, c - self.t, c)
-        res = rnd.signed_to_rns(c, ctx.tables(level).q)
+        c = np.where(coeffs > self.t // 2, coeffs - self.t, coeffs)
+        res = ctx.to_rns(c, level)
         data = np.asarray(ntt_fwd(jnp.asarray(res), ctx.tables(level)))
         return Plaintext(data=jnp.asarray(data),
                          shoup=jnp.asarray(shoup_precompute(
@@ -130,10 +176,19 @@ class BfvScheme:
                          level=level, scale=1.0)
 
     def decode(self, coeffs_mod_t: np.ndarray) -> np.ndarray:
-        """Poly coeffs mod t → integer slot values."""
-        ev = np.asarray(ntt_fwd(jnp.asarray(coeffs_mod_t[None, :]),
-                                self.tables_t))[0]
-        return ev[self.slot_to_eval].astype(np.int64)
+        """Poly coeffs mod t (object/uint) → integer slot values (object)."""
+        if not self.batching:
+            return np.asarray(coeffs_mod_t, dtype=object)
+        out = np.zeros(self.n, dtype=object)
+        c = np.asarray(coeffs_mod_t).astype(object)
+        for f in self.t_factors:
+            c_f = (c % f).astype(np.uint64).astype(np.uint32)
+            ev_f = np.asarray(ntt_fwd(jnp.asarray(c_f[None, :]),
+                                      self.tables_t[f]))[0]
+            fhat = self.t // f
+            coef = fhat * nt.modinv(fhat % f, f) % self.t
+            out = (out + ev_f.astype(object) * coef) % self.t
+        return out[self.slot_to_eval]
 
     # ------------------------------------------------------------------
     # encrypt / decrypt
@@ -143,9 +198,10 @@ class BfvScheme:
         """Δ·m over Q in NTT+Montgomery (pt.data is the centered lift of m
         in standard NTT form)."""
         tabs = self.ctx.tables(level)
+        lvl = self._lvl(level)
         m_mont = shoup_mul(pt.data, tabs.r, tabs.r_shoup, tabs.q)
-        return shoup_mul(m_mont, self.delta_mod_q[: level + 1],
-                         self.delta_shoup[: level + 1], tabs.q)
+        return shoup_mul(m_mont, lvl["delta_mod_q"], lvl["delta_shoup"],
+                         tabs.q)
 
     def encrypt(self, encryptor: Encryptor, pt: Plaintext,
                 seed: bytes | None = None) -> Ciphertext:
@@ -163,13 +219,14 @@ class BfvScheme:
         return Ciphertext(data=d, level=pt.level, scale=1.0)
 
     def decrypt_coeffs_mod_t(self, ct: Ciphertext, sk_data) -> np.ndarray:
-        """round(t·x/Q) mod t per coefficient (exact bigint, host)."""
+        """round(t·x/Q) mod t per coefficient (exact bigint, host).
+        Returns object ints (t may exceed 32 bits)."""
         x = self._raw_decrypt(ct, sk_data)
         centered = self.ctx.crt_lift(x, ct.level)
-        Q = self.ctx.q_at(ct.level)
+        Q = self._lvl(ct.level)["Q"]
         num = centered.astype(object) * self.t
         m = np.array([(2 * v + Q) // (2 * Q) for v in num], dtype=object)
-        return (np.mod(m, self.t)).astype(np.uint64).astype(np.uint32)
+        return np.mod(m, self.t)
 
     def _raw_decrypt(self, ct: Ciphertext, sk_data) -> np.ndarray:
         mc = self.ctx.mont(ct.level)
@@ -192,7 +249,7 @@ class BfvScheme:
         around every BFV op)."""
         x = self._raw_decrypt(ct, sk_data)
         centered = self.ctx.crt_lift(x, ct.level)
-        Q = self.ctx.q_at(ct.level)
+        Q = self._lvl(ct.level)["Q"]
         # noise numerator: |t·x mod Q| centered — the fractional part of
         # t·x/Q scaled by Q
         tx = centered.astype(object) * self.t
@@ -204,23 +261,25 @@ class BfvScheme:
         return max(budget, 0)
 
     # ------------------------------------------------------------------
-    # multiply (HPS)
+    # multiply (HPS, any level)
     # ------------------------------------------------------------------
 
     def multiply(self, a: Ciphertext, b: Ciphertext, ev: Evaluator) -> Ciphertext:
-        """BFV ct·ct → 3-part ct.  Tensor over Q∪B, scale by t/Q."""
+        """BFV ct·ct → 3-part ct.  Tensor over Q_ℓ∪B, scale by t/Q_ℓ."""
         if a.level != b.level:
             raise ValueError("level mismatch")
         lvl = a.level
-        if lvl != self.ctx.num_data - 1:
-            raise NotImplementedError("BFV multiply at dropped levels TBD")
+        L = lvl + 1
+        plans = self._lvl(lvl)
         tabs_q = self.ctx.tables(lvl)
         mc_q = self.ctx.mont(lvl)
+        tables_B = plans["tables_B"]
+        mont_B = plans["mont_B"]
 
         def to_b(ct):
             coeffs = ntt_inv(ct.data, tabs_q, strip_mont=True)
-            ext = fbc_apply(coeffs, self.fbc_q_to_b)
-            return ntt_fwd_mont(ext, self.tables_B)      # [parts, K, N] Mont
+            ext = fbc_apply(coeffs, plans["fbc_q_to_b"], precise=True)
+            return ntt_fwd_mont(ext, tables_B)           # [parts, K, N] Mont
 
         a_b, b_b = to_b(a), to_b(b)
 
@@ -235,25 +294,41 @@ class BfvScheme:
             return jnp.stack([t0, t1, t2], axis=-3)
 
         prod_q = tensor(a.data, b.data, mc_q["q"], mc_q["qinv_neg"])
-        prod_b = tensor(a_b, b_b, self.mont_B["q"], self.mont_B["qinv_neg"])
+        prod_b = tensor(a_b, b_b, mont_B["q"], mont_B["qinv_neg"])
 
         # coefficient domain, standard form, both bases
         cq = ntt_inv(prod_q, tabs_q, strip_mont=True)
-        cb = ntt_inv(prod_b, self.tables_B, strip_mont=True)
+        cb = ntt_inv(prod_b, tables_B, strip_mont=True)
 
-        L = lvl + 1
         # u = t·x over Q∪B
-        uq = shoup_mul(cq, self.t_mod_qb[:L], self.t_shoup_qb[:L], tabs_q.q)
-        ub = shoup_mul(cb, self.t_mod_qb[self.ctx.num_data:],
-                       self.t_shoup_qb[self.ctx.num_data:], self.tables_B.q)
+        uq = shoup_mul(cq, plans["t_mod_qb"][:L], plans["t_shoup_qb"][:L],
+                       tabs_q.q)
+        ub = shoup_mul(cb, plans["t_mod_qb"][L:], plans["t_shoup_qb"][L:],
+                       tables_B.q)
         # r = |u|_Q lifted to B; y = (u − r)/Q over B
-        r_b = fbc_apply(uq, self.fbc_q_to_b)
-        y_b = shoup_mul(mod_sub(ub, r_b, self.tables_B.q),
-                        self.qinv_mod_b, self.qinv_shoup_b, self.tables_B.q)
+        r_b = fbc_apply(uq, plans["fbc_q_to_b"], precise=True)
+        y_b = shoup_mul(mod_sub(ub, r_b, tables_B.q),
+                        plans["qinv_mod_b"], plans["qinv_shoup_b"],
+                        tables_B.q)
         # back to Q
-        out_q = fbc_apply(y_b, self.fbc_b_to_q)
+        out_q = fbc_apply(y_b, plans["fbc_b_to_q"], precise=True)
         data = ntt_fwd_mont(out_q, tabs_q)
         return Ciphertext(data=data, level=lvl, scale=1.0)
+
+    # ------------------------------------------------------------------
+    # modulus switching (SEAL BFV mod_switch_to_next)
+    # ------------------------------------------------------------------
+
+    def mod_switch(self, ct: Ciphertext) -> Ciphertext:
+        """Divide-and-round by the last active prime (message invariant:
+        Δ' = Q'/t tracks Q' automatically; adds ~|s|∞ rounding noise).
+        Shrinks ciphertexts for deep chains — the reference matpow demo's
+        headroom tool."""
+        if ct.level < 1:
+            raise ValueError("cannot mod_switch below level 0")
+        plan = self.ctx.rescale_plan(ct.level)
+        d = _div_round_last(ct.data, plan)
+        return Ciphertext(data=d, level=ct.level - 1, scale=1.0)
 
     # ------------------------------------------------------------------
     # plain ops

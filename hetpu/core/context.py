@@ -109,6 +109,9 @@ class KeySwitchPlan:
     # primes), precomputed so jit traces reuse one table identity
     foreign_idx: tuple           # (np.ndarray, ...) per digit
     foreign_tables: tuple        # (NttTables/FourStepTables, ...) per digit
+    # ALL digits' foreign bases concatenated (duplicate primes allowed):
+    # one NTT call covers every lifted plane instead of one call per digit
+    foreign_cat_tables: object
     dhat: np.ndarray             # [ℓ+1,R]  (D_j/q_i) mod r
     dhat_shoup: np.ndarray
     moddown: ModDownPlan
@@ -152,6 +155,31 @@ class Context:
         dst = self.params.moduli[: level]
         return self._make_rescale(src_idx=level, dst_idx=np.arange(level),
                                   src_prime=src, dst_primes=dst)
+
+    @lru_cache(maxsize=None)
+    def group_rescale_plan(self, level: int) -> ModDownPlan:
+        """Paired-prime rescale: divide-and-round by q_{ℓ-1}·q_ℓ (the
+        rescale_group=2 high-precision mode).  Same centered-FBC
+        divide machinery as the key-switch mod-down (evaluator._mod_down
+        with k=2)."""
+        from . import rns
+        g = self.params.rescale_group
+        if level - g + 1 < self.params.num_anchor:
+            raise ValueError("cannot rescale into the anchor primes")
+        src = list(self.params.moduli[level - g + 1: level + 1])
+        dst = list(self.params.moduli[: level - g + 1])
+        P = 1
+        for p in src:
+            P *= p
+        return ModDownPlan(
+            src_tables=self.tables_full.slice(
+                np.arange(level - g + 1, level + 1)),
+            dst_tables=self.tables_full.slice(np.arange(level - g + 1)),
+            fbc=rns.make_fbc(src, dst),
+            p_inv=_col([nt.modinv(P % q, q) for q in dst]),
+            p_inv_shoup=shoup_precompute(
+                _col([nt.modinv(P % q, q) for q in dst]), _col(dst)),
+        )
 
     def _make_rescale(self, src_idx, dst_idx, src_prime, dst_primes) -> RescalePlan:
         half = src_prime >> 1
@@ -226,6 +254,8 @@ class Context:
             basis_tables=basis_tables,
             foreign_idx=foreign_idx,
             foreign_tables=tuple(basis_tables.slice(f) for f in foreign_idx),
+            foreign_cat_tables=basis_tables.slice(
+                np.concatenate(foreign_idx)) if len(foreign_idx) else None,
             q=_col(basis_primes),
             qinv_neg=_col([((1 << 32) - nt.modinv(r, 1 << 32)) % (1 << 32)
                            for r in basis_primes]),
@@ -240,27 +270,32 @@ class Context:
 
     @lru_cache(maxsize=None)
     def moddown_rescale_plan(self, level: int) -> ModDownRescalePlan:
-        """Fused divide-and-round by P·q_level (key-switch mod-down and
-        rescale in one pass), landing on level-1."""
+        """Fused divide-and-round by P·q_level (·q_{level-1} when
+        rescale_group=2): key-switch mod-down and rescale in one pass,
+        landing on level-group."""
         from . import rns
-        if level < 1:
-            raise ValueError("cannot rescale below level 0")
+        g = self.params.rescale_group
+        floor = self.params.num_anchor if g > 1 else 1
+        if level - g + 1 < floor:
+            raise ValueError("cannot rescale below the chain floor")
         k = self.num_special
-        q_last = self.params.moduli[level]
+        dropped = list(self.params.moduli[level - g + 1: level + 1])
         specials = list(self.params.special_moduli)
-        dst = list(self.params.moduli[: level])
+        dst = list(self.params.moduli[: level - g + 1])
         src_idx = np.concatenate(
-            [np.array([level]),
+            [np.arange(level - g + 1, level + 1),
              np.arange(self.num_data, self.num_data + k)])
         P = 1
         for p in specials:
             P *= p
-        PQ = P * q_last
+        PQ = P
+        for q in dropped:
+            PQ *= q
         active = list(self.params.moduli[: level + 1])
         return ModDownRescalePlan(
             src_tables=self.tables_full.slice(src_idx),
-            dst_tables=self.tables_full.slice(np.arange(level)),
-            fbc=rns.make_fbc([q_last] + specials, dst),
+            dst_tables=self.tables_full.slice(np.arange(level - g + 1)),
+            fbc=rns.make_fbc(dropped + specials, dst),
             p_mod=_col([P % q for q in active]),
             p_mod_shoup=shoup_precompute(
                 _col([P % q for q in active]), _col(active)),

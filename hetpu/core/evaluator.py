@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import galois
+from . import galois, mxu_fbc
 from .ciphertext import Ciphertext, Plaintext, check_add_compat, scales_close
 from .context import Context, KeySwitchPlan, RescalePlan
 from .keys import GaloisKeys, KSwitchKey, RelinKeys
@@ -174,17 +174,36 @@ class Evaluator:
         #    from the still-NTT-domain input with a single Shoup multiply —
         #    no INTT→NTT roundtrip (J·α fewer key-basis NTT planes).
         y = ntt_inv(d, tabs, strip_mont=True, extra=plan.dig_inv)
-        exts = []
+        use_mxu = mxu_fbc.enabled()
+        accs = []
         for di, (lo, hi) in enumerate(plan.digit_bounds):
-            foreign = plan.foreign_idx[di]
-            qf = plan.q[foreign]
-            acc = None
-            for i in range(lo, hi):
-                term = shoup_mul(y[..., i: i + 1, :],
-                                 plan.dhat[i][foreign][:, None],
-                                 plan.dhat_shoup[i][foreign][:, None], qf)
-                acc = term if acc is None else mod_add(acc, term, qf)
-            lifted = ntt_fwd(acc, plan.foreign_tables[di])
+            if use_mxu:
+                # centered digit lift Σ v̂_i·d̂_i as ONE s8 digit matmul on
+                # the MXU (mxu_fbc) — replaces α·foreign VPU Shoup passes;
+                # the centered representative differs by a multiple of D,
+                # standard mod-up noise
+                accs.append(mxu_fbc.lift_plan(plan, di).apply(
+                    y[..., lo:hi, :]))
+            else:
+                foreign = plan.foreign_idx[di]
+                qf = plan.q[foreign]
+                acc = None
+                for i in range(lo, hi):
+                    term = shoup_mul(y[..., i: i + 1, :],
+                                     plan.dhat[i][foreign][:, None],
+                                     plan.dhat_shoup[i][foreign][:, None], qf)
+                    acc = term if acc is None else mod_add(acc, term, qf)
+                accs.append(acc)
+        # ONE forward NTT over every digit's lifted planes (concatenated
+        # foreign bases — duplicate primes fine), then stitch per digit
+        lifted_cat = ntt_fwd(jnp.concatenate(accs, axis=-2),
+                             plan.foreign_cat_tables)
+        exts = []
+        off = 0
+        for di, (lo, hi) in enumerate(plan.digit_bounds):
+            nf = len(plan.foreign_idx[di])
+            lifted = lifted_cat[..., off:off + nf, :]
+            off += nf
             direct = shoup_mul(d[..., lo:hi, :],
                                plan.rinv[lo:hi], plan.rinv_shoup[lo:hi],
                                tabs.q[lo:hi])
@@ -315,12 +334,22 @@ class Evaluator:
     # ------------------------------------------------------------------
 
     def rescale(self, ct: Ciphertext) -> Ciphertext:
-        """Divide-and-round by the last active prime; level-1, scale/q_ℓ
+        """Divide-and-round by the last active prime — or prime PAIR in
+        rescale_group=2 high-precision mode; level-g, scale/∏dropped
         (SEAL rescale_to_next; reference `^` operator)."""
-        plan = self.ctx.rescale_plan(ct.level)
-        d = _div_round_last(ct.data, plan)
-        q_last = self.ctx.params.moduli[ct.level]
-        return Ciphertext(data=d, level=ct.level - 1, scale=ct.scale / q_last)
+        g = self.ctx.params.rescale_group
+        if g == 1:
+            plan = self.ctx.rescale_plan(ct.level)
+            d = _div_round_last(ct.data, plan)
+            q_last = self.ctx.params.moduli[ct.level]
+            return Ciphertext(data=d, level=ct.level - 1,
+                              scale=ct.scale / q_last)
+        md = self.ctx.group_rescale_plan(ct.level)
+        d = _mod_down(ct.data, md, g)
+        prod = 1.0
+        for q in self.ctx.params.moduli[ct.level - g + 1: ct.level + 1]:
+            prod *= q
+        return Ciphertext(data=d, level=ct.level - g, scale=ct.scale / prod)
 
     def mod_switch(self, ct: Ciphertext) -> Ciphertext:
         """Drop the last prime without scaling (SEAL mod_switch_to_next;
@@ -341,14 +370,17 @@ class Evaluator:
     # ------------------------------------------------------------------
 
     def _relin_rescale_fused(self, ct3: Ciphertext, rk: RelinKeys) -> Ciphertext:
-        """Relinearize + rescale with ONE fused divide-and-round by P·q_ℓ:
-            out_i = round((c_i·P + Σ digit_j(c_2)·ksk_j) / (P·q_ℓ))
+        """Relinearize + rescale with ONE fused divide-and-round by
+        P·(dropped primes) — the last prime, or last PAIR in
+        rescale_group=2 high-precision mode:
+            out_i = round((c_i·P + Σ digit_j(c_2)·ksk_j) / (P·∏dropped))
         (c_i·P vanishes on the special limbs since P ≡ 0 there, and the
-        source limbs {q_ℓ} ∪ specials are a contiguous tail slice).
+        source limbs {dropped} ∪ specials are a contiguous tail slice).
         Saves the standalone rescale's whole INTT/FBC/NTT tower — ~20% of
         the NTT planes of a mult+relin+rescale (profiled on v5e)."""
         level = ct3.level
         L = level + 1
+        g = self.ctx.params.rescale_group
         plan = self.ctx.moddown_rescale_plan(level)
         acc = self._inner_product_raw(
             self._decompose(ct3.data[..., 2, :, :], level), level, rk.key)
@@ -358,19 +390,24 @@ class Evaluator:
             shoup_mul(c01, plan.p_mod, plan.p_mod_shoup,
                       self.ctx.tables(level).q),
             self.ctx.tables(level).q)
-        src = jnp.concatenate([w_data[..., L - 1: L, :], acc[..., L:, :]],
+        src = jnp.concatenate([w_data[..., L - g: L, :], acc[..., L:, :]],
                               axis=-2)
-        from . import rns
         u = ntt_inv(src, plan.src_tables, strip_mont=True,
                     extra=plan.fbc.inv_punit)
-        r_q = rns.fbc_apply(u, plan.fbc, correct=True, premul=False)
+        if mxu_fbc.enabled():
+            r_q = mxu_fbc.fbc_plan(plan.fbc).apply(u)
+        else:
+            from . import rns
+            r_q = rns.fbc_apply(u, plan.fbc, correct=True, premul=False)
         r_m = ntt_fwd_mont(r_q, plan.dst_tables)
         q_dst = plan.dst_tables.q
-        out = shoup_mul(mod_sub(w_data[..., : L - 1, :], r_m, q_dst),
+        out = shoup_mul(mod_sub(w_data[..., : L - g, :], r_m, q_dst),
                         plan.pq_inv, plan.pq_inv_shoup, q_dst)
-        q_last = self.ctx.params.moduli[level]
-        return Ciphertext(data=out, level=level - 1,
-                          scale=ct3.scale / q_last)
+        prod = 1.0
+        for q in self.ctx.params.moduli[level - g + 1: level + 1]:
+            prod *= q
+        return Ciphertext(data=out, level=level - g,
+                          scale=ct3.scale / prod)
 
     def multiply_relin_rescale(self, a, b, rk: RelinKeys) -> Ciphertext:
         return self._relin_rescale_fused(self.multiply(a, b), rk)
@@ -387,11 +424,14 @@ def _mod_down(acc: jax.Array, md, k: int) -> jax.Array:
     NTT) by P = ∏ of the k special primes, landing on the data basis:
     centered FBC of the special limbs + subtract + ×P^{-1}.  One α-misround
     = ±1 of rounding noise (see rns.fbc_apply)."""
-    from . import rns
     sp = acc[..., -k:, :]
     rest = acc[..., :-k, :]
     u = ntt_inv(sp, md.src_tables, strip_mont=True, extra=md.fbc.inv_punit)
-    r_q = rns.fbc_apply(u, md.fbc, correct=True, premul=False)
+    if mxu_fbc.enabled():
+        r_q = mxu_fbc.fbc_plan(md.fbc).apply(u)
+    else:
+        from . import rns
+        r_q = rns.fbc_apply(u, md.fbc, correct=True, premul=False)
     r_m = ntt_fwd_mont(r_q, md.dst_tables)
     return shoup_mul(mod_sub(rest, r_m, md.dst_tables.q),
                      md.p_inv, md.p_inv_shoup, md.dst_tables.q)

@@ -40,7 +40,23 @@ class HeParams:
     moduli: tuple[int, ...]                # RNS primes q_0..q_{L-1} (data primes)
     special_moduli: tuple[int, ...]        # key-switch primes p_0..p_{K-1}
     scale: float = 0.0                     # CKKS default scale (Δ)
-    plain_modulus: int = 0                 # BFV t (batching prime) / 0 for CKKS
+    plain_modulus: int = 0                 # BFV t / 0 for CKKS
+    # BFV batching: t = ∏ plain_factors, each an NTT-friendly prime ≡ 1
+    # mod 2N (CRT batching — SEAL's 60-bit PlainModulus::Batching parity,
+    # reference ``matrix_operations.cpp:360-361``).  Empty ⇒ t itself is
+    # the single factor.  plain_batching=False allows ARBITRARY t (e.g.
+    # the reference matpow demo's t = 2^32, ``matrix_operations.cpp:640``)
+    # with coefficient (non-slot) encoding only.
+    plain_factors: tuple[int, ...] = ()
+    plain_batching: bool = True
+    # CKKS: number of primes one rescale drops.  rescale_group=2 is the
+    # paired-prime high-precision mode: scale ≈ q_a·q_b ≥ 2^44 on ≤31-bit
+    # limbs — MATCHES/EXCEEDS the reference's scale-2^40 working precision
+    # (``matrix_operations.cpp:845-852``) without 64-bit lanes.  The first
+    # ``num_anchor`` primes are never rescaled away (the chain bottom must
+    # exceed scale·|m| for decryption, SEAL's big first prime idiom).
+    rescale_group: int = 1
+    num_anchor: int = 1
     sec_level: int = 128
 
     def __post_init__(self):
@@ -65,11 +81,26 @@ class HeParams:
                 f"{nt.max_coeff_modulus_bits(n, self.sec_level)} for N={n}; "
                 "pass sec_level=0 to override (expert mode)"
             )
+        if self.rescale_group not in (1, 2):
+            raise ValueError("rescale_group must be 1 or 2")
+        if (len(self.moduli) - self.num_anchor) % self.rescale_group != 0:
+            raise ValueError("rescale primes above the anchors must be a "
+                             "multiple of rescale_group")
         if self.scheme == Scheme.BFV:
             if self.plain_modulus == 0:
                 raise ValueError("BFV requires plain_modulus")
-            if (self.plain_modulus - 1) % (2 * n) != 0:
-                raise ValueError("plain_modulus must support batching (t=1 mod 2N)")
+            if self.plain_batching:
+                factors = self.plain_factors or (self.plain_modulus,)
+                prod = 1
+                for f in factors:
+                    prod *= f
+                    if (f - 1) % (2 * n) != 0 or not nt.is_prime(f):
+                        raise ValueError(
+                            "batching plain factors must be primes "
+                            f"= 1 mod 2N; got {f}")
+                if prod != self.plain_modulus:
+                    raise ValueError("plain_factors must multiply to "
+                                     "plain_modulus")
 
     # ---- derived (host-side) quantities -------------------------------
     @property
@@ -125,20 +156,39 @@ def ckks_params(
 
     Mirrors SEAL's {60, 40...40, 60} idiom (reference
     ``matrix_operations.cpp:845-852``) scaled to 31-bit lanes.
+
+    ``scale_bits`` > 31 selects PAIRED-PRIME rescale (rescale_group=2):
+    each of ``levels`` multiplicative levels is a pair (q_lo, q_hi) with
+    q_lo·q_hi ≈ 2^scale_bits (e.g. 30+31 → scale ≈ 2^61 — beyond the
+    reference's 2^40 working precision on 32-bit lanes).
     """
     two_n = 2 * poly_degree
-    # rescale primes as close to 2^scale_bits as possible (alternating around
-    # the scale keeps rescaled scales stable)
-    mid = nt.gen_primes(scale_bits, levels + (first_prime_bits == scale_bits), two_n)
-    if first_prime_bits == scale_bits:
-        first, mids = mid[0], mid[1:]
-        used = set(mid)
+    group = 1 if scale_bits <= 31 else 2
+    if group == 1:
+        # rescale primes as close to 2^scale_bits as possible
+        mid = nt.gen_primes(scale_bits,
+                            levels + (first_prime_bits == scale_bits), two_n)
+        if first_prime_bits == scale_bits:
+            anchors, mids = [mid[0]], list(mid[1:])
+            used = set(mid)
+        else:
+            anchors = [nt.gen_primes(first_prime_bits, 1, two_n)[0]]
+            mids = list(mid[:levels])
+            used = {*anchors, *mids}
     else:
-        first = nt.gen_primes(first_prime_bits, 1, two_n)[0]
-        mids = mid[:levels]
-        used = {first, *mids}
+        if scale_bits > 61:
+            raise ValueError("paired rescale supports scale_bits <= 61")
+        # anchors: enough never-dropped primes that the chain bottom
+        # exceeds scale·|m|·noise (≈18 bits of headroom)
+        n_anchor = -(-(scale_bits + 18) // 31)
+        anchors = list(nt.gen_primes(31, n_anchor, two_n)[:n_anchor])
+        used = set(anchors)
+        mids = []
+        for lo, hi in _scale_pairs(scale_bits, levels, two_n, used):
+            mids += [lo, hi]
     specials: list[int] = []
-    cand = nt.gen_primes(special_prime_bits, num_special + levels + 2, two_n)
+    cand = nt.gen_primes(special_prime_bits,
+                         num_special + 2 * levels + 4, two_n)
     for p in cand:
         if p not in used and len(specials) < num_special:
             specials.append(p)
@@ -146,11 +196,55 @@ def ckks_params(
     return HeParams(
         scheme=Scheme.CKKS,
         poly_degree=poly_degree,
-        moduli=(first, *mids),
+        moduli=(*anchors, *mids),
         special_moduli=tuple(specials),
-        scale=float(1 << scale_bits),
+        scale=float(2 ** scale_bits),
+        rescale_group=group,
+        num_anchor=len(anchors),
         sec_level=sec_level,
     )
+
+
+def _scale_pairs(scale_bits: int, levels: int, two_n: int, used: set):
+    """``levels`` prime pairs with q_lo·q_hi ≈ 2^scale_bits, drawn from a
+    window of bit sizes around scale_bits/2 (greedy best-product match;
+    ring degree decides which bit sizes have NTT primes at all).  Marks
+    picked primes in ``used``."""
+    import math
+    half = scale_bits / 2
+    lo_bit = max(int(half) - 6, two_n.bit_length() + 1)
+    hi_bit = min(int(half) + 7, 31)
+    # enumerate ALL NTT-friendly primes in the window (q = k·2N + 1)
+    pool: list[int] = []
+    q = (2 ** hi_bit - 1) // two_n * two_n + 1
+    floor = 2 ** (lo_bit - 1)
+    while q > floor:
+        if q not in used and nt.is_prime(q):
+            pool.append(q)
+        q -= two_n
+    pool.sort(reverse=True)
+    pairs = []
+    drift = 0.0          # accumulated log2(product) - scale_bits
+    while len(pairs) < levels:
+        if len(pool) < 2:
+            raise ValueError(
+                f"not enough NTT primes near 2^{half:.1f} for {levels} "
+                f"scale-2^{scale_bits} pairs (2N={two_n})")
+        p = pool.pop(0)
+        target = scale_bits - drift      # steer products to cancel drift
+        best_j, best_err = None, None
+        for j, r in enumerate(pool):
+            err = abs(math.log2(p) + math.log2(r) - target)
+            if best_err is None or err < best_err:
+                best_j, best_err = j, err
+        if best_err > 0.3:
+            continue              # no good partner for p — drop it
+        r = pool.pop(best_j)
+        drift += math.log2(p) + math.log2(r) - scale_bits
+        pairs.append((min(p, r), max(p, r)))
+        used.add(p)
+        used.add(r)
+    return pairs
 
 
 def bfv_params(
@@ -158,24 +252,47 @@ def bfv_params(
     levels: int,
     *,
     plain_bits: int = 20,
+    plain_modulus: int = 0,
     prime_bits: int = 30,
     first_prime_bits: int = 31,
+    num_special: int = 1,
     sec_level: int = 128,
 ) -> HeParams:
     """BFV chain; ``plain_bits`` sized batching plaintext modulus
-    (SEAL ``PlainModulus::Batching``, reference ``matrix_operations.cpp:148``)."""
+    (SEAL ``PlainModulus::Batching``, reference ``matrix_operations.cpp:148``).
+    ``plain_bits`` > 31 builds t as a CRT product of ~30-bit NTT-friendly
+    primes (60-bit batching-modulus parity, ``matrix_operations.cpp:360``).
+    An explicit ``plain_modulus`` (e.g. 2^32, the reference matpow demo)
+    disables batching and is used verbatim."""
     two_n = 2 * poly_degree
-    t = nt.gen_primes(plain_bits, 1, two_n)[0]
     first = nt.gen_primes(first_prime_bits, 1, two_n)[0]
     mids = nt.gen_primes(prime_bits, levels, two_n)[:levels]
     used = {first, *mids}
-    special = next(p for p in nt.gen_primes(31, levels + 3, two_n) if p not in used)
+    specials = []
+    for p in nt.gen_primes(31, levels + num_special + 3, two_n):
+        if p not in used and len(specials) < num_special:
+            specials.append(p)
+            used.add(p)
+    if plain_modulus:
+        t, factors, batching = plain_modulus, (), False
+    else:
+        nf = -(-plain_bits // 30)
+        bits_each = -(-plain_bits // nf)
+        cand = [p for p in nt.gen_primes(bits_each, nf + 4, two_n)
+                if p not in used]
+        factors = tuple(cand[:nf])
+        t = 1
+        for f in factors:
+            t *= f
+        batching = True
     return HeParams(
         scheme=Scheme.BFV,
         poly_degree=poly_degree,
         moduli=(first, *mids),
-        special_moduli=(special,),
+        special_moduli=tuple(specials),
         plain_modulus=t,
+        plain_factors=factors if len(factors) > 1 else (),
+        plain_batching=batching,
         sec_level=sec_level,
     )
 
@@ -207,8 +324,26 @@ _PRESETS = {
     # (log QP = 426 ≤ 438 at N=2^14).
     "bench_n14": lambda: ckks_params(1 << 14, levels=8, scale_bits=30,
                                     num_special=5),
+    # HIGH-PRECISION pair-rescale: scale ≈ 2^44 (beats the reference's
+    # 2^40, matrix_operations.cpp:63-66) at the same N=2^13 / depth 2
+    "ckks_hi": lambda: ckks_params(1 << 13, levels=2, scale_bits=44,
+                                   num_special=2),
+    # N=2^14 high-precision, depth 5 @ 2^44, α=3 keyswitch
+    "ckks_hi14": lambda: ckks_params(1 << 14, levels=5, scale_bits=44,
+                                     num_special=3),
+    # deep high-precision chain, N=2^15, depth 11 @ 2^55
+    "ckks_deep_hi": lambda: ckks_params(1 << 15, levels=11, scale_bits=55,
+                                        num_special=4),
     # reference matrix_operations.cpp:145-150 — BFV N=2^13
     "bfv_small": lambda: bfv_params(1 << 13, levels=2),
+    # reference matrix_operations.cpp:360-361 — BFV N=2^13, 60-bit CRT
+    # batching modulus (PlainModulus::Batching(poly, 60)); α=2 keyswitch
+    "bfv_batch": lambda: bfv_params(1 << 13, levels=4, plain_bits=60,
+                                    num_special=2),
+    # reference matrix_operations.cpp:640-641 — BFV N=2^13, t = 2^32
+    # (non-batching element-per-ct matpow)
+    "bfv_matpow": lambda: bfv_params(1 << 13, levels=4,
+                                     plain_modulus=1 << 32, num_special=2),
     # tiny fast-test configs (sec_level=0: test-only, too small to be secure)
     "test_tiny": lambda: ckks_params(1 << 10, levels=2, scale_bits=30,
                                      first_prime_bits=31, special_prime_bits=31,
@@ -217,6 +352,9 @@ _PRESETS = {
     "test_deep": lambda: ckks_params(1 << 11, levels=12, scale_bits=30,
                                      first_prime_bits=31, special_prime_bits=31,
                                      sec_level=0),
+    # tiny pair-rescale high-precision config (scale ≈ 2^44)
+    "test_hi": lambda: ckks_params(1 << 10, levels=3, scale_bits=44,
+                                   sec_level=0),
     # multi-prime-digit (dnum) key-switch coverage: α = 3 special primes
     "test_dnum": lambda: ckks_params(1 << 10, levels=7, scale_bits=30,
                                      first_prime_bits=31, special_prime_bits=31,
@@ -224,6 +362,16 @@ _PRESETS = {
     "test_bfv_tiny": lambda: bfv_params(1 << 10, levels=2, plain_bits=17,
                                         prime_bits=26, first_prime_bits=27,
                                         sec_level=0),
+    # CRT plain modulus (t = t1·t2 ≈ 2^34) + enough levels for a dropped-
+    # level multiply
+    "test_bfv_crt": lambda: bfv_params(1 << 10, levels=5, plain_bits=34,
+                                       prime_bits=29, first_prime_bits=30,
+                                       sec_level=0),
+    # non-batching scalar coefficients, t = 2^20 (matpow-style)
+    "test_bfv_scalar": lambda: bfv_params(1 << 10, levels=2,
+                                          plain_modulus=1 << 20,
+                                          prime_bits=27, first_prime_bits=28,
+                                          sec_level=0),
 }
 
 

@@ -110,13 +110,17 @@ class Session:
         return ct.level
 
     def drop_level(self, ct: Ciphertext) -> Ciphertext:
-        """Burn one level, EXACTLY preserving scale: multiply by 1 encoded
-        at scale q_ℓ, then rescale (scale·q_ℓ/q_ℓ = scale).  The
+        """Burn one rescale level (one prime — or one PAIR in the
+        rescale_group=2 high-precision mode), EXACTLY preserving scale:
+        multiply by 1 encoded at scale ∏dropped, then rescale.  The
         scale-preserving version of the reference's drop_chain_levels
         (``he_util.h:27-55``, multiply-by-1 + rescale)."""
-        q_last = float(self.ctx.params.moduli[ct.level])
+        g = self.ctx.params.rescale_group
+        prod = 1.0
+        for q in self.ctx.params.moduli[ct.level - g + 1: ct.level + 1]:
+            prod *= q
         one = self.cached_encode(("const", 1.0 + 0j), 1.0,
-                                 level=ct.level, scale=q_last)
+                                 level=ct.level, scale=prod)
         return self.ev.rescale(self.ev.multiply_plain(ct, one))
 
     def reach_level(self, ct: Ciphertext, target: int) -> Ciphertext:

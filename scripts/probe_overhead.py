@@ -1,65 +1,63 @@
-"""Separate per-launch vs per-byte costs: vary ROWS and rb."""
+"""Isolate fixed overheads: per-scan-step vs per-pallas-call vs per-byte.
+
+Times scan chains whose bodies are: pure-jnp xor; 1 pallas copy; 2 pallas
+copies; 4 pallas copies; 1 copy at 2x data; 1 copy at 4x data.
+"""
 import time
 import numpy as np
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-q = np.uint32((1 << 30) + 1)
+n1 = n2 = 128
+rng = np.random.default_rng(0)
 
-def run(ROWS, L, rb, K=20):
-    n1 = n2 = 128
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.integers(0, q, (ROWS, L, n1, n2), dtype=np.uint32))
+
+def copy_call(rows, rb=8):
     def kernel(x_ref, o_ref):
-        o_ref[:] = x_ref[:] + jnp.uint32(1)
+        o_ref[...] = x_ref[...]
+
     def call(x):
         return pl.pallas_call(
             kernel,
-            grid=(ROWS // rb, L),
-            in_specs=[pl.BlockSpec((rb, 1, n1, n2), lambda r, l: (r, l, 0, 0),
+            grid=(rows // rb,),
+            in_specs=[pl.BlockSpec((rb, n1, n2), lambda r: (r, 0, 0),
                                    memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((rb, 1, n1, n2), lambda r, l: (r, l, 0, 0),
+            out_specs=pl.BlockSpec((rb, n1, n2), lambda r: (r, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((ROWS, L, n1, n2), jnp.uint32),
+            out_shape=jax.ShapeDtypeStruct((rows, n1, n2), jnp.uint32),
         )(x)
+    return call
+
+
+def bench(name, fn, x, K=20, iters=3):
     @jax.jit
     def chain(x):
         def body(c, _):
-            o = call(c)
+            o = fn(c)
             return o ^ (o[..., :1, :1] & 1), ()
         out, _ = jax.lax.scan(body, x, None, length=K)
         return jnp.sum(out[..., :1, :8], dtype=jnp.uint32)
     r = chain(x); jax.block_until_ready(r)
     ts = []
-    for _ in range(3):
-        t0 = time.perf_counter(); r = chain(x); _ = int(r)
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        r = chain(x); _ = int(r)
         ts.append(time.perf_counter() - t0)
     dt = min(ts) / K
-    planes = ROWS * L
-    mb = planes * 65536 * 2 / 1e6
-    print(f"ROWS={ROWS:4d} L={L} rb={rb:3d}: {dt*1e3:8.3f} ms/launch  "
-          f"{dt/planes*1e6:6.2f} us/plane  {mb/1e3/dt:6.1f} GB/s")
+    print(f"{name:28s} {dt*1e3:8.3f} ms/step")
 
-for rows, rb in ((32, 1), (32, 8), (32, 32), (128, 8), (128, 32), (128, 128)):
-    run(rows, 9, rb)
-# XLA elementwise for comparison
-for ROWS in (32, 128):
-    rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.integers(0, q, (ROWS, 9, 128, 128), dtype=np.uint32))
-    @jax.jit
-    def chain(x):
-        def body(c, _):
-            o = c + jnp.uint32(1)
-            return o ^ (o[..., :1, :1] & 1), ()
-        out, _ = jax.lax.scan(body, x, None, length=20)
-        return jnp.sum(out[..., :1, :8], dtype=jnp.uint32)
-    r = chain(x); jax.block_until_ready(r)
-    ts = []
-    for _ in range(3):
-        t0 = time.perf_counter(); r = chain(x); _ = int(r)
-        ts.append(time.perf_counter() - t0)
-    dt = min(ts) / 20
-    planes = ROWS * 9
-    print(f"XLA add ROWS={ROWS:4d}: {dt*1e3:8.3f} ms  {dt/planes*1e6:6.2f} us/plane  "
-          f"{planes*65536*2/1e9/dt:6.1f} GB/s")
+
+x1 = jnp.asarray(rng.integers(0, 1 << 30, (288, n1, n2), dtype=np.uint32))
+x2 = jnp.asarray(rng.integers(0, 1 << 30, (576, n1, n2), dtype=np.uint32))
+x4 = jnp.asarray(rng.integers(0, 1 << 30, (1152, n1, n2), dtype=np.uint32))
+
+c1, c2_, c4 = copy_call(288), copy_call(576), copy_call(1152)
+
+bench("jnp xor only", lambda v: v ^ jnp.uint32(1), x1)
+bench("1 pallas copy (288pl)", c1, x1)
+bench("2 pallas copies (288pl)", lambda v: c1(c1(v)), x1)
+bench("4 pallas copies (288pl)", lambda v: c1(c1(c1(c1(v)))), x1)
+bench("1 pallas copy (576pl)", c2_, x2)
+bench("1 pallas copy (1152pl)", c4, x4)
+bench("jnp roundtrip copy", lambda v: (v + jnp.uint32(1)) - jnp.uint32(1), x1)

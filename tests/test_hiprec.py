@@ -1,0 +1,92 @@
+"""High-precision paired-prime rescale (rescale_group=2): working scale
+≈ 2^44 on ≤31-bit limbs — at/beyond the reference's scale-2^40 CKKS
+(``matrix_operations.cpp:63-66, 845-852``).  Tolerances here are ~2^10
+TIGHTER than the scale-2^30 suite's — the round-2 verdict's "done"
+criterion for this feature."""
+
+import numpy as np
+import pytest
+
+from hetpu.session import Session
+
+SEED = b"\x42" * 32
+
+
+@pytest.fixture(scope="module")
+def hi():
+    return Session.create("test_hi", seed=SEED, galois_steps=[1, 2])
+
+
+def test_chain_shape(hi):
+    p = hi.ctx.params
+    assert p.rescale_group == 2 and p.num_anchor == 2
+    assert (len(p.moduli) - p.num_anchor) % 2 == 0
+    assert np.log2(p.scale) >= 40  # the reference's working precision
+
+
+def test_roundtrip_precision(hi, rng):
+    v = rng.uniform(-1, 1, hi.slots)
+    got = hi.decrypt(hi.encrypt(v)).real
+    err = np.abs(got - v).max()
+    # fresh-encrypt noise ≈ σ·√2N/Δ ≈ 2^-32 at Δ=2^44 (the scale-2^30
+    # path sits near ~1e-6 — three orders looser)
+    assert err < 5e-9, err
+
+
+def test_mult_rescale_pair(hi, rng):
+    a = rng.uniform(-1, 1, hi.slots)
+    b = rng.uniform(-1, 1, hi.slots)
+    ca, cb = hi.encrypt(a), hi.encrypt(b)
+    out = hi.ev.multiply_relin_rescale(ca, cb, hi.rk)
+    assert out.level == ca.level - 2           # pair dropped
+    got = hi.decrypt(out).real
+    err = np.abs(got - a * b).max()
+    assert err < 1e-9, err
+
+
+def test_depth3_chain(hi, rng):
+    """x^8 by repeated squaring across the full pair chain."""
+    x = rng.uniform(-1, 1, hi.slots)
+    ct = hi.encrypt(x)
+    for _ in range(3):
+        ct = hi.ev.square_relin_rescale(ct, hi.rk)
+    # 3 pair-rescales from the top land exactly on the anchor floor
+    assert ct.level == hi.ctx.params.num_anchor - 1
+    got = hi.decrypt(ct).real
+    err = np.abs(got - x ** 8).max()
+    assert err < 1e-7, err
+
+
+def test_standalone_rescale_matches_fused(hi, rng):
+    a = rng.uniform(-1, 1, hi.slots)
+    b = rng.uniform(-1, 1, hi.slots)
+    ca, cb = hi.encrypt(a), hi.encrypt(b)
+    fused = hi.ev.multiply_relin_rescale(ca, cb, hi.rk)
+    steps = hi.ev.rescale(hi.ev.relinearize(hi.ev.multiply(ca, cb), hi.rk))
+    assert fused.level == steps.level
+    assert abs(fused.scale - steps.scale) < 1e-6 * fused.scale
+    d = np.abs(hi.decrypt(fused).real - hi.decrypt(steps).real).max()
+    assert d < 1e-9, d
+
+
+def test_scale_solved_add(hi, rng):
+    """Cross-history add (fresh x + x·y) via the solved-scale constant
+    multiply — the scale-EXACT alignment discipline under pair rescale."""
+    from hetpu.math import mult_const_to
+    a = rng.uniform(-1, 1, hi.slots)
+    b = rng.uniform(-1, 1, hi.slots)
+    ca, cb = hi.encrypt(a), hi.encrypt(b)
+    prod = hi.ev.multiply_relin_rescale(ca, cb, hi.rk)   # level top-2
+    cc = mult_const_to(hi, hi.encrypt(a), 1.0, prod.scale)
+    assert cc.level == prod.level and abs(cc.scale - prod.scale) < 1e-6
+    got = hi.decrypt(hi.ev.add(cc, prod)).real
+    err = np.abs(got - (a + a * b)).max()
+    assert err < 1e-7, err
+
+
+def test_rotation_hi(hi, rng):
+    v = rng.uniform(-1, 1, hi.slots)
+    ct = hi.encrypt(v)
+    got = hi.decrypt(hi.ev.rotate(ct, 1, hi.gk)).real
+    err = np.abs(got - np.roll(v, -1)).max()
+    assert err < 1e-9, err
