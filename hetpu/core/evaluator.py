@@ -115,22 +115,36 @@ class Evaluator:
         return Ciphertext(data=d, level=ct.level, scale=ct.scale * pt.scale)
 
     def multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
-        """ct·ct tensor product → 3-part ciphertext (Karatsuba: 3 modular
-        multiplies instead of 4)."""
+        """ct·ct tensor product: k-part × m-part → (k+m−1)-part (SEAL
+        multiplies arbitrary-size cts — deferred-relin chains across two
+        multiplies, reference SMART_RELIN ``he_linalg.cpp:975-1002``).
+        The common 2×2 case uses Karatsuba (3 modular multiplies)."""
         if a.level != b.level:
             raise ValueError(f"multiply: level {a.level} vs {b.level}")
-        if a.num_parts != 2 or b.num_parts != 2:
-            raise ValueError("multiply requires 2-part inputs (relinearize first)")
         mc = self.ctx.mont(a.level)
         q, qn = mc["q"], mc["qinv_neg"]
-        c0, c1 = a.data[..., 0, :, :], a.data[..., 1, :, :]
-        d0, d1 = b.data[..., 0, :, :], b.data[..., 1, :, :]
-        t0 = mont_mul(c0, d0, q, qn)
-        t2 = mont_mul(c1, d1, q, qn)
-        t1 = mod_sub(
-            mod_sub(mont_mul(mod_add(c0, c1, q), mod_add(d0, d1, q), q, qn), t0, q),
-            t2, q)
-        return Ciphertext(data=jnp.stack([t0, t1, t2], axis=-3),
+        if a.num_parts == 2 and b.num_parts == 2:
+            c0, c1 = a.data[..., 0, :, :], a.data[..., 1, :, :]
+            d0, d1 = b.data[..., 0, :, :], b.data[..., 1, :, :]
+            t0 = mont_mul(c0, d0, q, qn)
+            t2 = mont_mul(c1, d1, q, qn)
+            t1 = mod_sub(
+                mod_sub(mont_mul(mod_add(c0, c1, q), mod_add(d0, d1, q), q, qn),
+                        t0, q),
+                t2, q)
+            return Ciphertext(data=jnp.stack([t0, t1, t2], axis=-3),
+                              level=a.level, scale=a.scale * b.scale)
+        # general part-wise convolution: out_k = Σ_{i+j=k} a_i·b_j
+        ka, kb = a.num_parts, b.num_parts
+        parts = []
+        for k in range(ka + kb - 1):
+            acc = None
+            for i in range(max(0, k - kb + 1), min(ka, k + 1)):
+                t = mont_mul(a.data[..., i, :, :], b.data[..., k - i, :, :],
+                             q, qn)
+                acc = t if acc is None else mod_add(acc, t, q)
+            parts.append(acc)
+        return Ciphertext(data=jnp.stack(parts, axis=-3),
                           level=a.level, scale=a.scale * b.scale)
 
     def square(self, a: Ciphertext) -> Ciphertext:
@@ -280,13 +294,20 @@ class Evaluator:
         return outs
 
     def relinearize(self, ct: Ciphertext, rk: RelinKeys) -> Ciphertext:
-        if ct.num_parts != 3:
-            raise ValueError("relinearize expects a 3-part ciphertext")
-        p0, p1 = self._keyswitch(ct.data[..., 2, :, :], ct.level, rk.key)
+        """Reduce a k-part ciphertext to 2 parts: each part p ≥ 2
+        (multiplying s^p) is key-switched with the s^p → s key
+        (SEAL size-k relinearize; needs ``create_relin_keys(count=k-2)``
+        for k > 3)."""
+        if ct.num_parts < 3:
+            raise ValueError("relinearize expects a ≥3-part ciphertext")
         q = self.ctx.mont(ct.level)["q"]
-        d = jnp.stack([mod_add(ct.data[..., 0, :, :], p0, q),
-                       mod_add(ct.data[..., 1, :, :], p1, q)], axis=-3)
-        return Ciphertext(data=d, level=ct.level, scale=ct.scale)
+        c0, c1 = ct.data[..., 0, :, :], ct.data[..., 1, :, :]
+        for p in range(2, ct.num_parts):
+            p0, p1 = self._keyswitch(ct.data[..., p, :, :], ct.level,
+                                     rk.key_for_power(p))
+            c0, c1 = mod_add(c0, p0, q), mod_add(c1, p1, q)
+        return Ciphertext(data=jnp.stack([c0, c1], axis=-3),
+                          level=ct.level, scale=ct.scale)
 
     def apply_galois(self, ct: Ciphertext, elt: int, gk: GaloisKeys) -> Ciphertext:
         if ct.num_parts != 2:

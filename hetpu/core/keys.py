@@ -61,7 +61,21 @@ class KSwitchKey:
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class RelinKeys:
+    """Relinearization keys.  ``key`` switches s² → s (the common case);
+    ``more`` optionally holds keys for s³, s⁴, … so k-part ciphertexts
+    from deferred-relin chains can be reduced (SEAL's size-k relinearize;
+    reference SMART_RELIN patterns ``he_linalg.cpp:975-1002``)."""
+
     key: KSwitchKey
+    more: tuple = ()                     # tuple[KSwitchKey] for s^3, s^4, …
+
+    def key_for_power(self, p: int) -> KSwitchKey:
+        if p == 2:
+            return self.key
+        if 3 <= p < 3 + len(self.more):
+            return self.more[p - 3]
+        raise KeyError(
+            f"no relin key for s^{p}; create_relin_keys(count={p - 1})")
 
 
 @jax.tree_util.register_dataclass
@@ -190,8 +204,18 @@ class KeyGenerator:
         k, ks = self._ksk_jit(a, e, s_prime)
         return KSwitchKey(data=k, shoup=ks)
 
-    def create_relin_keys(self) -> RelinKeys:
-        return RelinKeys(key=self._kswitch_key(self._s2_jit(self.secret.data)))
+    def create_relin_keys(self, count: int = 1) -> RelinKeys:
+        """Keys for s²→s (always) and, with ``count`` > 1, s³…s^{count+1}
+        — enabling relinearization of up-to-(count+2)-part ciphertexts
+        (SEAL KeyGenerator::create_relin_keys size semantics)."""
+        s_pow = self._s2_jit(self.secret.data)   # s²
+        keys = [self._kswitch_key(s_pow)]
+        for _ in range(count - 1):
+            s_pow = jax.jit(lambda sp: mont_mul(
+                sp, self.secret.data, self.ctx.tables_full.q,
+                self._qinv_full))(s_pow)
+            keys.append(self._kswitch_key(s_pow))
+        return RelinKeys(key=keys[0], more=tuple(keys[1:]))
 
     def create_galois_keys(self, steps=None) -> GaloisKeys:
         """Keys for slot rotations.  Default: ± all powers of two (SEAL's

@@ -165,16 +165,21 @@ def _ksk_from_wire(d: np.ndarray, primes) -> KSwitchKey:
 
 
 def dump_relin_keys(rk: RelinKeys) -> bytes:
-    d = np.asarray(rk.key.data)
-    return _pack(TAG_RELIN, {"shape": list(d.shape)}, _u32_bytes(d))
+    ds = [np.asarray(k.data) for k in (rk.key, *rk.more)]
+    return _pack(TAG_RELIN, {"shape": list(ds[0].shape), "count": len(ds)},
+                 b"".join(_u32_bytes(d) for d in ds))
 
 
 def load_relin_keys(blob: bytes, ctx: Context) -> RelinKeys:
     tag, h, payload = _unpack(blob)
     if tag != TAG_RELIN:
         raise ValueError("not a relin-keys blob")
-    return RelinKeys(key=_ksk_from_wire(_u32_from(payload, h["shape"]),
-                                        ctx.all_primes))
+    shape = h["shape"]
+    count = h.get("count", 1)            # pre-count blobs: single s² key
+    per = int(np.prod(shape)) * 4
+    keys = [_ksk_from_wire(_u32_from(payload[i * per:(i + 1) * per], shape),
+                           ctx.all_primes) for i in range(count)]
+    return RelinKeys(key=keys[0], more=tuple(keys[1:]))
 
 
 def dump_galois_keys(gk: GaloisKeys) -> bytes:

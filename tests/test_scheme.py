@@ -174,3 +174,44 @@ def test_batched_ciphertexts(env, rng):
             dec.decrypt(summed.with_(data=summed.data[i])), 2 * z, atol=1e-3)
         np.testing.assert_allclose(
             dec.decrypt(prod.with_(data=prod.data[i])), z * z, atol=1e-3)
+
+
+def test_kpart_multiply_relinearize(env, rng):
+    """Deferred-relin chain: (x·y)·z as a 3-part × 2-part multiply → 4-part
+    ct, relinearized with s²/s³ keys (SEAL size-k semantics; reference
+    SMART_RELIN patterns ``he_linalg.cpp:975-1002``)."""
+    enc, dec, ev = env["enc"], env["dec"], env["ev"]
+    rk3 = env["kg"].create_relin_keys(count=2)
+    x = _rand_slots(rng, enc.slot_count, -0.9, 0.9)
+    y = _rand_slots(rng, enc.slot_count, -0.9, 0.9)
+    z = _rand_slots(rng, enc.slot_count, -0.9, 0.9)
+    cx = env["encryptor"].encrypt(enc.encode(x))
+    cy = env["encryptor"].encrypt(enc.encode(y))
+    cz = env["encryptor"].encrypt(enc.encode(z))
+    c3 = ev.multiply(cx, cy)                 # 3 parts, no relin
+    c4 = ev.multiply(c3, cz)                 # 4 parts (and 2×k order flip)
+    c4b = ev.multiply(cz, c3)
+    assert c4.num_parts == 4 == c4b.num_parts
+    want = x * y * z
+    np.testing.assert_allclose(dec.decrypt(c4), want, atol=5e-3)
+    c2 = ev.relinearize(c4, rk3)
+    assert c2.num_parts == 2
+    np.testing.assert_allclose(dec.decrypt(c2), want, atol=5e-3)
+    np.testing.assert_allclose(dec.decrypt(ev.relinearize(c4b, rk3)),
+                               want, atol=5e-3)
+    # missing-key error path
+    with pytest.raises(KeyError):
+        ev.relinearize(c4, env["rk"])
+
+
+def test_relin_keys_roundtrip_multi(env):
+    """Multi-key RelinKeys survive the wire format."""
+    from hetpu.core import serial
+    rk3 = env["kg"].create_relin_keys(count=2)
+    blob = serial.dump_relin_keys(rk3)
+    back = serial.load_relin_keys(blob, env["ctx"])
+    assert len(back.more) == 1
+    np.testing.assert_array_equal(np.asarray(back.key.data),
+                                  np.asarray(rk3.key.data))
+    np.testing.assert_array_equal(np.asarray(back.more[0].data),
+                                  np.asarray(rk3.more[0].data))
