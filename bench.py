@@ -39,7 +39,7 @@ def main():
     # executable (scripts/probe_k.py), so short chains measure RPC overhead,
     # not the framework; a long scan chain amortizes it and stays a true
     # sequential dependency chain
-    K = int(os.environ.get("HETPU_BENCH_K", "192"))
+    K = int(os.environ.get("HETPU_BENCH_K", "384"))
     base = sess.encrypt(rng.uniform(-1, 1, sess.slots))
     b_ct = sess.encrypt(rng.uniform(-1, 1, sess.slots))
     a = base.with_(data=jnp.stack([base.data] * BATCH))

@@ -58,7 +58,9 @@ class BfvSession:
     def encode(self, values, level=None) -> Plaintext:
         return self.scheme.encode(values, level)
 
-    def encrypt(self, values, level=None) -> Ciphertext:
+    def encrypt(self, values, level=None, scale=None) -> Ciphertext:
+        # `scale` accepted (and ignored) for linalg-layer signature parity
+        # with the CKKS Session — BFV's invariant scale is Δ = Q/t.
         return self.scheme.encrypt(self.encryptor, self.encode(values, level))
 
     def decrypt(self, ct: Ciphertext) -> np.ndarray:
@@ -102,6 +104,28 @@ class BfvSession:
 
     def relinearize(self, ct) -> Ciphertext:
         return self.ev.relinearize(ct, self.rk)
+
+    # -- level / scale management (he::util parity, BFV flavor) --------
+    def align(self, a, b):
+        """Bring two cts to a common level by modulus switching (BFV has
+        no scale; levels only shrink ct size / manage noise)."""
+        while a.level > b.level:
+            a = self.mod_switch(a)
+        while b.level > a.level:
+            b = self.mod_switch(b)
+        return a, b
+
+    # -- scheme protocol for the linalg layer (exact-integer flavor) ---
+    def mat_multiply(self, a, b) -> Ciphertext:
+        return self.scheme.multiply(a, b, self.ev)
+
+    def mat_reduce_finish(self, c3) -> Ciphertext:
+        """Finish an accumulated 3-part sum: relin only (no rescale in
+        BFV — the invariant scale is Δ = Q/t at every level)."""
+        return self.ev.relinearize(c3, self.rk)
+
+    def mat_mult_finish(self, a, b) -> Ciphertext:
+        return self.multiply_relin(a, b)
 
     # -- rotations (SEAL BatchEncoder semantics) -----------------------
     def rotate_rows(self, ct, steps: int) -> Ciphertext:

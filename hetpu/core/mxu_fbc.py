@@ -57,8 +57,15 @@ _I32 = jnp.int32
 
 
 def enabled() -> bool:
-    """Evaluator-integration switch (A/B tuning; default on)."""
-    return os.environ.get("HETPU_MXU_FBC", "1") not in ("0", "false", "off")
+    """Evaluator-integration switch (A/B tuning; default OFF).
+
+    Measured on v5e at the bench_n14 config (round 3): the fused-op bench
+    runs 9,382 ops/s with the VPU shoup-loop FBC vs 8,262 ops/s with this
+    MXU path — the FBC contraction (K ≈ 4·S+1 ≈ 25) utilizes < 20% of the
+    128-wide MXU K-dim while paying the digit-extract/recombine epilogues.
+    The kernel stays available (HETPU_MXU_FBC=1) for configs with larger
+    source bases where the contraction fills the MXU."""
+    return os.environ.get("HETPU_MXU_FBC", "0") not in ("0", "false", "off")
 
 
 def _center_host(m: np.ndarray, q: int) -> np.ndarray:

@@ -340,9 +340,12 @@ _PRESETS = {
     # batching modulus (PlainModulus::Batching(poly, 60)); α=2 keyswitch
     "bfv_batch": lambda: bfv_params(1 << 13, levels=4, plain_bits=60,
                                     num_special=2),
-    # reference matrix_operations.cpp:640-641 — BFV N=2^13, t = 2^32
-    # (non-batching element-per-ct matpow)
-    "bfv_matpow": lambda: bfv_params(1 << 13, levels=4,
+    # reference matrix_operations.cpp:640-641 — BFV, t = 2^32
+    # (non-batching element-per-ct matpow).  N=2^14 instead of the
+    # reference's 2^13: A⁵ is depth 3, and depth-3 noise at t=2^32
+    # (~48 bits/level) needs Δ = Q/t ≈ 2^179 — more headroom than the
+    # 128-bit security bound allows at N=2^13 with 31-bit limbs.
+    "bfv_matpow": lambda: bfv_params(1 << 14, levels=6,
                                      plain_modulus=1 << 32, num_special=2),
     # tiny fast-test configs (sec_level=0: test-only, too small to be secure)
     "test_tiny": lambda: ckks_params(1 << 10, levels=2, scale_bits=30,
@@ -366,6 +369,12 @@ _PRESETS = {
     # level multiply
     "test_bfv_crt": lambda: bfv_params(1 << 10, levels=5, plain_bits=34,
                                        prime_bits=29, first_prime_bits=30,
+                                       sec_level=0),
+    # depth-3 capable non-batching chain (A⁵ matpow at test scale):
+    # noise/level ≈ log2(t·N·2) = 28 bits, Δ = 2^141 covers depth 3
+    "test_bfv_pow": lambda: bfv_params(1 << 10, levels=5,
+                                       plain_modulus=1 << 16,
+                                       prime_bits=26, first_prime_bits=27,
                                        sec_level=0),
     # non-batching scalar coefficients, t = 2^20 (matpow-style)
     "test_bfv_scalar": lambda: bfv_params(1 << 10, levels=2,

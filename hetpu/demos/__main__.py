@@ -1,7 +1,10 @@
 """CLI dispatcher — parity with reference ``demo <suite> <name>``
 (``src/demos/demos.cpp:7-29``).
 
-Usage: python -m hetpu.demos <suite> <name> [--small]
+Usage: python -m hetpu.demos <suite> <name> [--small] [--cpu]
+
+``--cpu`` pins JAX to host CPU (useful with ``--small`` for quick local
+verification when the default backend is a remote accelerator).
 """
 
 from __future__ import annotations
@@ -12,7 +15,10 @@ import sys
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
     small = "--small" in argv
-    argv = [a for a in argv if a != "--small"]
+    if "--cpu" in argv:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    argv = [a for a in argv if a not in ("--small", "--cpu")]
     if len(argv) < 1:
         print(__doc__)
         print("suites: bfv_operations client client_server_rookie fft "

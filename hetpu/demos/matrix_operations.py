@@ -1,14 +1,17 @@
 """Matrix-operation demos (reference ``src/demos/matrix_operations.cpp``).
 
 Dispatch parity (reference :1191-1199): op, elemwise_square, matmul,
-batch_matmul_ckks, matpow, sum_elems, least_squares_2d,
-batched_matmul_ckks.  ``--small`` shrinks parameters for quick runs.
+batch_matmul_bfv, batch_matmul_ckks, matpow, sum_elems, least_squares_2d,
+batched_matmul_ckks.  The BFV demos (elemwise_square, matmul,
+batch_matmul_bfv, matpow) run the exact-integer path with noise-budget
+probes, like the reference.  ``--small`` shrinks parameters for quick runs.
 """
 
 from __future__ import annotations
 
 import numpy as np
 
+from ..bfv import BfvSession
 from ..linalg import BatchedMatrix, BatchedVector, Matrix
 from ..models.least_squares import least_squares_2d
 from ..session import Session
@@ -18,6 +21,14 @@ from ..utils import Timer
 def _sess(preset, small, steps):
     t = Timer()
     s = Session.create("test_deep" if small else preset, galois_steps=steps)
+    t.toc("keygen+context time")
+    return s
+
+
+def _bfv_sess(preset, small, small_preset):
+    t = Timer()
+    s = BfvSession.create(small_preset if small else preset,
+                          galois_steps=[1])
     t.toc("keygen+context time")
     return s
 
@@ -37,28 +48,41 @@ def demo_op(small=False):
 
 
 def demo_elemwise_square(small=False):
-    """Elementwise square (reference :140-209 runs this in BFV with noise
-    budgets; CKKS variant here, exact BFV path pending)."""
-    sess = _sess("ckks_small", small, [1])
+    """Elementwise square — BFV with noise-budget probes (reference
+    :140-209: BatchEncoder slots, invariant_noise_budget before/after)."""
+    sess = _bfv_sess("bfv_small", small, "test_bfv_tiny")
+    t_mod = sess.ctx.params.plain_modulus
     rng = np.random.default_rng(0)
-    x = rng.uniform(-2, 2, sess.slots)
+    v = rng.integers(0, 1 << 9, sess.slots, dtype=np.int64)
+    ct = sess.encrypt(v)
+    print("noise budget fresh:", sess.noise_budget(ct), "bits")
     t = Timer()
-    out = sess.ev.square_relin_rescale(sess.encrypt(x), sess.rk)
-    t.toc("HE square time", block_on=out.data)
-    print("x^2 =", sess.decrypt(out).real[:4], "\nexpected =", (x * x)[:4])
+    sq = sess.square_relin(ct)
+    t.toc("HE square time", block_on=sq.data)
+    print("noise budget after square:", sess.noise_budget(sq), "bits")
+    got = sess.decrypt(sq)
+    want = (v.astype(object) ** 2) % t_mod
+    print("exact:", bool(np.array_equal(got, want)), "| x^2[:4] =", got[:4])
 
 
 def demo_matmul(small=False):
-    """Element-per-ct matmul + pow (reference :211-349: transp + A^5)."""
-    sess = _sess("ckks_deep", small, [1])
+    """Element-per-ct matmul + pow — BFV transp + A^5 (reference :211-349:
+    t = 2^32 coefficient encoding, binary square-and-multiply)."""
+    sess = _bfv_sess("bfv_matpow", small, "test_bfv_pow")
+    t_mod = sess.ctx.params.plain_modulus
     rng = np.random.default_rng(0)
-    a = rng.uniform(-0.7, 0.7, (2, 2))
-    ma = Matrix.encrypt(sess, a)
+    a = rng.integers(0, 6, (2, 2), dtype=np.int64)
+    ma = Matrix.encrypt(sess, a).transp().transp()    # lazy transp parity
+    print("noise budget fresh:",
+          sess.noise_budget(ma.ct.with_(data=ma.ct.data[0])), "bits")
     t = Timer()
     out = ma.matmul_pow(5)
     t.toc("HE (no batch) matrix multiplication time", block_on=out.ct.data)
-    print("A^5 =\n", out.decrypt().real, "\nexpected =\n",
-          np.linalg.matrix_power(a, 5))
+    print("noise budget after A^5:",
+          sess.noise_budget(out.ct.with_(data=out.ct.data[0])), "bits")
+    got = out.decrypt_exact()
+    want = np.linalg.matrix_power(a.astype(object), 5) % t_mod
+    print("A^5 exact:", bool(np.array_equal(got, want)), "\n", got)
 
 
 def demo_batch_matmul_ckks(small=False):
@@ -77,16 +101,50 @@ def demo_batch_matmul_ckks(small=False):
     print(f"batch={batch} max err =", np.abs(got - want).max())
 
 
-def demo_matpow(small=False):
-    """A^5 binary exponentiation (reference :631-743)."""
-    sess = _sess("ckks_deep", small, [1])
+def demo_batch_matmul_bfv(small=False):
+    """5×5 × slot_count independent integer matmuls — BFV with the 60-bit
+    CRT batching plain modulus (reference :351-493,
+    ``PlainModulus::Batching(poly, 60)`` :360-361)."""
+    sess = _bfv_sess("bfv_batch", small, "test_bfv_crt")
+    t_mod = sess.ctx.params.plain_modulus
+    print(f"plain modulus t = {t_mod} ({t_mod.bit_length()} bits, "
+          f"factors {sess.ctx.params.plain_factors or (t_mod,)})")
     rng = np.random.default_rng(0)
-    a = rng.uniform(-0.7, 0.7, (2, 2))
+    d = 2 if small else 5
+    batch = sess.slots
+    A = rng.integers(0, 1 << 10, (d, d, batch), dtype=np.int64)
+    B = rng.integers(0, 1 << 10, (d, d, batch), dtype=np.int64)
+    ma, mb = Matrix.encrypt(sess, A), Matrix.encrypt(sess, B)
+    print("noise budget fresh:",
+          sess.noise_budget(ma.ct.with_(data=ma.ct.data[0])), "bits")
     t = Timer()
-    out = Matrix.encrypt(sess, a).matmul_pow(5)
+    out = ma.matmul(mb)
+    t.toc("HE matrix multiplication time", block_on=out.ct.data)
+    print("noise budget after matmul:",
+          sess.noise_budget(out.ct.with_(data=out.ct.data[0])), "bits")
+    got = out.decrypt_exact(batch)
+    want = np.einsum("ikb,kjb->ijb", A.astype(object), B.astype(object)) % t_mod
+    print(f"batch={batch} exact:", bool(np.array_equal(got, want)))
+
+
+def demo_matpow(small=False):
+    """A^5 binary exponentiation — BFV t = 2^32 (reference :631-743:
+    one ct per element, noise budgets through the chain)."""
+    sess = _bfv_sess("bfv_matpow", small, "test_bfv_pow")
+    t_mod = sess.ctx.params.plain_modulus
+    rng = np.random.default_rng(0)
+    a = rng.integers(0, 6, (2, 2), dtype=np.int64)
+    ma = Matrix.encrypt(sess, a)
+    print("noise budget fresh:",
+          sess.noise_budget(ma.ct.with_(data=ma.ct.data[0])), "bits")
+    t = Timer()
+    out = ma.matmul_pow(5)
     t.toc("HE matrix power time", block_on=out.ct.data)
-    print("A^5 =\n", out.decrypt().real, "\nexpected =\n",
-          np.linalg.matrix_power(a, 5))
+    print("noise budget after A^5:",
+          sess.noise_budget(out.ct.with_(data=out.ct.data[0])), "bits")
+    got = out.decrypt_exact()
+    want = np.linalg.matrix_power(a.astype(object), 5) % t_mod
+    print("A^5 exact:", bool(np.array_equal(got, want)), "\n", got)
 
 
 def demo_sum_elems(small=False):
@@ -145,6 +203,7 @@ DEMOS = {
     "op": demo_op,
     "elemwise_square": demo_elemwise_square,
     "matmul": demo_matmul,
+    "batch_matmul_bfv": demo_batch_matmul_bfv,
     "batch_matmul_ckks": demo_batch_matmul_ckks,
     "matpow": demo_matpow,
     "sum_elems": demo_sum_elems,

@@ -69,6 +69,17 @@ class Matrix:
                 out[i, j] = self.sess.decrypt(self.ct.with_(data=d))[slot]
         return out
 
+    def decrypt_exact(self, batch: int = 1) -> np.ndarray:
+        """Exact integer decrypt (BFV sessions): [m, n] object ints, or
+        [m, n, batch] when each element is slot-batched."""
+        m, n = self.get_dims()
+        out = np.zeros((m, n, batch), dtype=object)
+        for i in range(m):
+            for j in range(n):
+                d = self.ct.data[self._idx(i, j)]
+                out[i, j] = self.sess.decrypt(self.ct.with_(data=d))[:batch]
+        return out[..., 0] if batch == 1 else out
+
     def decrypt_batch(self, batch: int) -> np.ndarray:
         """[m, n, batch] — all slot-batched instances."""
         m, n = self.get_dims()
@@ -115,8 +126,7 @@ class Matrix:
         a, b = self._aligned(other)
         da, db = self._data_logical(a), other._data_logical(b)
         m, n = self.get_dims()
-        out = self.sess.ev.multiply_relin_rescale(
-            a.with_(data=da), b.with_(data=db), self.sess.rk)
+        out = self.sess.mat_mult_finish(a.with_(data=da), b.with_(data=db))
         return Matrix(self.sess, out, m, n)
 
     # -- matmul (reference he_linalg.cpp:202-236, naive O(mnp) inner
@@ -133,13 +143,14 @@ class Matrix:
                        for i in range(m) for j in range(p) for k in range(n)])
         ib = np.array([other._idx(k, j)
                        for i in range(m) for j in range(p) for k in range(n)])
-        prod = ev.multiply(a.with_(data=a.data[ia]), b.with_(data=b.data[ib]))
+        prod = sess.mat_multiply(a.with_(data=a.data[ia]),
+                                 b.with_(data=b.data[ib]))
         # reduce over k: [m*p, n, 3, L, N] summed on axis 1
         d = prod.data.reshape(m * p, n, *prod.data.shape[1:])
-        q = sess.ctx.mont(a.level)["q"]
+        q = sess.ctx.mont(prod.level)["q"]
         acc = _tree_mod_add([d[:, k] for k in range(n)], q)
         c3 = prod.with_(data=acc)
-        out = ev.rescale(ev.relinearize(c3, sess.rk))
+        out = sess.mat_reduce_finish(c3)
         return Matrix(sess, out, m, p)
 
     def left_matmul_with_transp(self) -> "Matrix":

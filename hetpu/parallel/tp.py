@@ -1,0 +1,322 @@
+"""Limb-axis (tensor-parallel) sharded key-switching.
+
+SURVEY.md §2d "Limb (RNS) parallelism": shard the RNS-limb axis across
+devices (the TP analog); NTT per-limb is embarrassingly parallel;
+key-switch base conversion needs a cross-limb reduce → collectives over
+ICI.  This module implements that design explicitly with ``shard_map`` —
+no auto-SPMD guessing (VERDICT r2 item 4a).
+
+Layout.  ``tp`` devices each own a contiguous slice of the DATA-limb axis
+(L/tp limbs); the α special limbs are replicated (α ≪ L, and replicating
+them keeps the key-switch mod-down collective-free).  Per relinearize:
+
+  1. local INTT of the device's c₂ limb planes              (limb-parallel)
+  2. digit lift: partial Σᵢ yᵢ·d̂ᵢ over LOCAL sources to ALL
+     key-basis targets, then ONE modular all-reduce butterfly
+     over tp (``mod_all_reduce`` — uint32 residues cannot ride
+     a plain psum)                                           (the collective)
+  3. local forward NTT of the device's lifted rows + its
+     replicated special rows; digit-own rows come straight
+     from the NTT-domain input (evaluator's rinv shortcut)   (limb-parallel)
+  4. key inner product against the device's key slice        (limb-parallel)
+  5. mod-down by P: special limbs are replicated so the FBC
+     into local data limbs is collective-free                (local)
+
+Per-device NTT work scales as (L/tp + α) vs the single-chip (L + α);
+the only communication is step 2's butterfly (J·R·N u32 per round,
+log₂ tp rounds) riding ICI.
+
+Bit-exactness: every step reorders only modular additions, so the sharded
+relinearize equals ``Evaluator.relinearize`` EXACTLY (asserted in
+tests/test_parallel.py on the 8-device CPU mesh).
+
+Reference behavior being scaled: SEAL relinearization inside every
+``&``-operator call (``he_operators.cpp:147-161``); the reference runs it
+single-threaded on one CPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.ciphertext import Ciphertext
+from ..core.modular import mod_add, mod_sub, shoup_mul, shoup_precompute
+from ..core.ntt import build_tables
+from . import mod_all_reduce
+
+
+def _shoup(v, q):
+    return shoup_precompute(np.asarray(v, dtype=np.uint32),
+                            np.asarray(q, dtype=np.uint32))
+
+
+# ----------------------------------------------------------------------
+# flat NTT on traced (sharded) twiddle arrays
+# ----------------------------------------------------------------------
+
+def _ntt_fwd_t(x, q, w, ws):
+    """Flat CT forward NTT where twiddles are traced arrays [Lloc, N]
+    (sharded shard_map inputs, unlike core.ntt's closed-over numpy)."""
+    lead = x.shape[:-2]
+    L, n = x.shape[-2], x.shape[-1]
+    q3 = q.reshape(L, 1, 1)
+    m, half = 1, n // 2
+    while m < n:
+        x = x.reshape(*lead, L, m, 2, half)
+        wm = w[:, m: 2 * m].reshape(L, m, 1)
+        wsm = ws[:, m: 2 * m].reshape(L, m, 1)
+        u = x[..., 0, :]
+        v = shoup_mul(x[..., 1, :], wm, wsm, q3)
+        x = jnp.stack([mod_add(u, v, q3), mod_sub(u, v, q3)], axis=-2)
+        m, half = m * 2, half // 2
+    return x.reshape(*lead, L, n)
+
+
+def _ntt_inv_t(x, q, iw, iws, fin, fin_s):
+    """Flat GS inverse NTT on traced tables; ``fin`` is the folded final
+    constant (N⁻¹·R⁻¹·extra) per limb [Lloc, 1]."""
+    lead = x.shape[:-2]
+    L, n = x.shape[-2], x.shape[-1]
+    q3 = q.reshape(L, 1, 1)
+    m, half = n // 2, 1
+    while m >= 1:
+        x = x.reshape(*lead, L, m, 2, half)
+        wm = iw[:, m: 2 * m].reshape(L, m, 1)
+        wsm = iws[:, m: 2 * m].reshape(L, m, 1)
+        u, v = x[..., 0, :], x[..., 1, :]
+        s = mod_add(u, v, q3)
+        d = shoup_mul(mod_sub(u, v, q3), wm, wsm, q3)
+        x = jnp.stack([s, d], axis=-2)
+        m, half = m // 2, half * 2
+    return shoup_mul(x.reshape(*lead, L, n), fin, fin_s, q)
+
+
+# ----------------------------------------------------------------------
+# host-side plan
+# ----------------------------------------------------------------------
+
+@dataclass
+class TpKeySwitchPlan:
+    """Per-device-sliced constants (leading axis = tp devices, sharded
+    with in_spec P(axis)) + replicated closures."""
+
+    tp: int
+    level: int
+    L: int
+    Lloc: int
+    alpha: int
+    J: int
+    sharded: dict                # name -> np.ndarray [tp, ...]
+    repl: dict                   # replicated numpy constants
+
+
+def build_tp_plan(ctx, level: int, tp: int) -> TpKeySwitchPlan:
+    plan = ctx.keyswitch_plan(level)
+    L = level + 1
+    if L % tp:
+        raise ValueError(f"L={L} data limbs not divisible by tp={tp}")
+    Lloc = L // tp
+    alpha = ctx.num_special
+    J = plan.num_digits
+    n = ctx.params.poly_degree
+    R = L + alpha
+    data_primes = list(ctx.params.moduli[:L])
+    specials = list(ctx.params.special_moduli)
+    basis = data_primes + specials
+    flat_all = build_tables(n, basis)
+    md = plan.moddown
+
+    # masked digit-lift matrix: C[j, i, r] = d̂_i mod q_r if digit(i)==j
+    # and r OUTSIDE digit j (the digit-own rows use the rinv shortcut)
+    C = np.zeros((J, L, R), dtype=np.uint32)
+    digit_of = np.zeros(L, dtype=np.int64)
+    for j, (lo, hi) in enumerate(plan.digit_bounds):
+        digit_of[lo:hi] = j
+        for i in range(lo, hi):
+            for r in range(R):
+                if not (lo <= r < hi):
+                    C[j, i, r] = plan.dhat[i, r]
+    q_R = np.array(basis, dtype=np.uint32).reshape(R, 1)
+    C_shoup = np.zeros_like(C)
+    for r in range(R):
+        C_shoup[..., r] = ((C[..., r].astype(np.uint64) << np.uint64(32))
+                           // np.uint64(basis[r])).astype(np.uint32)
+
+    sh: dict[str, list] = {k: [] for k in (
+        "q_loc", "fwd_w", "fwd_ws", "inv_w", "inv_ws", "fin", "fin_s",
+        "row_q", "row_fwd_w", "row_fwd_ws", "row_r", "row_r_s",
+        "C", "C_s", "rinv", "rinv_s", "mask", "row_idx",
+        "phat", "phat_s", "ptot", "ptot_s", "p_inv", "p_inv_s",
+        "dst_q", "dst_fwd_w", "dst_fwd_ws", "dst_r", "dst_r_s")}
+    for d in range(tp):
+        lo, hi = d * Lloc, (d + 1) * Lloc
+        idx = np.arange(lo, hi)
+        t_loc = flat_all.slice(idx)
+        sh["q_loc"].append(t_loc.q)
+        sh["fwd_w"].append(t_loc.fwd_w)
+        sh["fwd_ws"].append(t_loc.fwd_w_shoup)
+        sh["inv_w"].append(t_loc.inv_w)
+        sh["inv_ws"].append(t_loc.inv_w_shoup)
+        # INTT epilogue: N⁻¹R⁻¹ · dig_inv folded into one constant
+        fin = (t_loc.n_inv_rinv[:, 0].astype(np.uint64)
+               * plan.dig_inv[lo:hi, 0].astype(np.uint64)
+               % t_loc.q[:, 0].astype(np.uint64)).astype(np.uint32)[:, None]
+        sh["fin"].append(fin)
+        sh["fin_s"].append(_shoup(fin, t_loc.q))
+        # ext rows = local data rows + replicated special rows
+        row_idx = np.concatenate([idx, np.arange(L, R)])
+        t_rows = flat_all.slice(row_idx)
+        sh["row_q"].append(t_rows.q)
+        sh["row_fwd_w"].append(t_rows.fwd_w)
+        sh["row_fwd_ws"].append(t_rows.fwd_w_shoup)
+        sh["row_r"].append(t_rows.r)
+        sh["row_r_s"].append(t_rows.r_shoup)
+        sh["row_idx"].append(row_idx)
+        sh["C"].append(C[:, lo:hi, :])
+        sh["C_s"].append(C_shoup[:, lo:hi, :])
+        sh["rinv"].append(plan.rinv[lo:hi])
+        sh["rinv_s"].append(plan.rinv_shoup[lo:hi])
+        mask = np.zeros((J, Lloc + alpha, 1), dtype=bool)
+        for p, i in enumerate(range(lo, hi)):
+            mask[digit_of[i], p, 0] = True
+        sh["mask"].append(mask)
+        # moddown FBC: specials → local data primes (dst axis sliced)
+        sh["phat"].append(md.fbc.phat_mod_r[:, lo:hi])
+        sh["phat_s"].append(md.fbc.phat_shoup[:, lo:hi])
+        sh["ptot"].append(md.fbc.ptot_mod_r[lo:hi])
+        sh["ptot_s"].append(md.fbc.ptot_shoup[lo:hi])
+        sh["p_inv"].append(md.p_inv[lo:hi])
+        sh["p_inv_s"].append(md.p_inv_shoup[lo:hi])
+        sh["dst_q"].append(t_loc.q)
+        sh["dst_fwd_w"].append(t_loc.fwd_w)
+        sh["dst_fwd_ws"].append(t_loc.fwd_w_shoup)
+        sh["dst_r"].append(t_loc.r)
+        sh["dst_r_s"].append(t_loc.r_shoup)
+    sharded = {k: np.stack(v) for k, v in sh.items()}
+
+    sp_tables = flat_all.slice(np.arange(L, R))
+    inv_punit = md.fbc.inv_punit
+    sp_fin = (sp_tables.n_inv_rinv[:, 0].astype(np.uint64)
+              * inv_punit[:, 0].astype(np.uint64)
+              % sp_tables.q[:, 0].astype(np.uint64)).astype(np.uint32)[:, None]
+    repl = dict(
+        q_R=q_R,
+        sp_q=sp_tables.q,
+        sp_inv_w=sp_tables.inv_w,
+        sp_inv_ws=sp_tables.inv_w_shoup,
+        sp_fin=sp_fin,
+        sp_fin_s=_shoup(sp_fin, sp_tables.q),
+        p_recip=md.fbc.p_recip.astype(np.float32),
+    )
+    return TpKeySwitchPlan(tp=tp, level=level, L=L, Lloc=Lloc, alpha=alpha,
+                           J=J, sharded=sharded, repl=repl)
+
+
+# ----------------------------------------------------------------------
+# the sharded kernel
+# ----------------------------------------------------------------------
+
+def tp_relinearize(sess, ct3: Ciphertext, mesh: Mesh,
+                   axis: str = "tp") -> Ciphertext:
+    """Relinearize a 3-part ciphertext with the key basis sharded over
+    ``mesh[axis]``.  Returns a 2-part ciphertext whose data is limb-sharded
+    (NamedSharding P(None, axis, None)); bit-identical to
+    ``Evaluator.relinearize``."""
+    tp = mesh.shape[axis]
+    plan = build_tp_plan(sess.ctx, ct3.level, tp)
+    L, Lloc, alpha, J = plan.L, plan.Lloc, plan.alpha, plan.J
+    R = L + alpha
+
+    # key slices: [tp, J, 2, Lloc+α, N]
+    kd = np.asarray(sess.rk.key.data)
+    ks = np.asarray(sess.rk.key.shoup)
+    sel = lambda a: np.concatenate(
+        [a[:J, :, : L], a[:J, :, sess.ctx.num_data:]], axis=2)
+    kd, ks = sel(kd), sel(ks)
+    key_d = np.stack([np.concatenate(
+        [kd[:, :, d * Lloc:(d + 1) * Lloc], kd[:, :, L:]], axis=2)
+        for d in range(tp)])
+    key_s = np.stack([np.concatenate(
+        [ks[:, :, d * Lloc:(d + 1) * Lloc], ks[:, :, L:]], axis=2)
+        for d in range(tp)])
+
+    rp = plan.repl
+    S = plan.sharded
+
+    def shard_fn(c3, kdat, ksh, *consts):
+        (q_loc, fwd_w, fwd_ws, inv_w, inv_ws, fin, fin_s,
+         row_q, row_fwd_w, row_fwd_ws, row_r, row_r_s,
+         C, C_s, rinv, rinv_s, mask, row_idx,
+         phat, phat_s, ptot, ptot_s, p_inv, p_inv_s,
+         dst_q, dst_fwd_w, dst_fwd_ws, dst_r, dst_r_s) = (
+            c[0] for c in consts)
+        kdat, ksh = kdat[0], ksh[0]
+        c2 = c3[2]                                      # [Lloc, N] Mont NTT
+        # 1. local INTT (dig_inv folded into the epilogue constant)
+        y = _ntt_inv_t(c2, q_loc, inv_w, inv_ws, fin, fin_s)
+        # 2. partial digit lift over local sources → ALL targets,
+        #    then ONE modular all-reduce butterfly across tp
+        part = None
+        for i in range(y.shape[-2]):
+            t = shoup_mul(y[i][None, None, :], C[:, i, :, None],
+                          C_s[:, i, :, None], rp["q_R"][None])
+            part = t if part is None else mod_add(part, t, rp["q_R"][None])
+        part = mod_all_reduce(part, rp["q_R"][None], axis)  # [J, R, N]
+        # 3. local rows: gather + forward NTT; digit-own rows from the
+        #    NTT-domain input via the rinv shortcut
+        rows = jnp.take(part, row_idx, axis=1)          # [J, Lloc+α, N]
+        ext = _ntt_fwd_t(rows, row_q, row_fwd_w, row_fwd_ws)
+        direct = shoup_mul(c2, rinv, rinv_s, q_loc)     # [Lloc, N]
+        pad = jnp.zeros((alpha, direct.shape[-1]), dtype=direct.dtype)
+        direct_pad = jnp.concatenate([direct, pad], axis=0)
+        ext = jnp.where(mask, direct_pad[None], ext)
+        # 4. key inner product (local limb slice)
+        acc = None
+        for j in range(J):
+            t = shoup_mul(ext[j][None], kdat[j], ksh[j], row_q)
+            acc = t if acc is None else mod_add(acc, t, row_q)
+        # 5. mod-down by P — collective-free (specials replicated)
+        sp = acc[:, -alpha:, :]
+        u = _ntt_inv_t(sp, rp["sp_q"], rp["sp_inv_w"], rp["sp_inv_ws"],
+                       rp["sp_fin"], rp["sp_fin_s"])
+        a_corr = jnp.round(jnp.sum(
+            u.astype(jnp.float32) * rp["p_recip"][None],
+            axis=-2, keepdims=True)).astype(jnp.uint32)
+        r_q = None
+        outs = []
+        for t_i in range(Lloc):
+            r1 = dst_q[t_i: t_i + 1]
+            accf = jnp.zeros_like(u[..., :1, :])
+            for s_i in range(alpha):
+                term = shoup_mul(u[..., s_i: s_i + 1, :],
+                                 phat[s_i, t_i], phat_s[s_i, t_i], r1)
+                accf = mod_add(accf, term, r1)
+            corr = shoup_mul(a_corr, ptot[t_i], ptot_s[t_i], r1)
+            outs.append(mod_sub(accf, corr, r1))
+        r_q = jnp.concatenate(outs, axis=-2)            # [2, Lloc, N]
+        r_m = shoup_mul(_ntt_fwd_t(r_q, dst_q, dst_fwd_w, dst_fwd_ws),
+                        dst_r, dst_r_s, dst_q)
+        p01 = shoup_mul(mod_sub(acc[:, :Lloc, :], r_m, dst_q),
+                        p_inv, p_inv_s, dst_q)
+        return mod_add(c3[:2], p01, q_loc)
+
+    consts = [jnp.asarray(S[k]) for k in (
+        "q_loc", "fwd_w", "fwd_ws", "inv_w", "inv_ws", "fin", "fin_s",
+        "row_q", "row_fwd_w", "row_fwd_ws", "row_r", "row_r_s",
+        "C", "C_s", "rinv", "rinv_s", "mask", "row_idx",
+        "phat", "phat_s", "ptot", "ptot_s", "p_inv", "p_inv_s",
+        "dst_q", "dst_fwd_w", "dst_fwd_ws", "dst_r", "dst_r_s")]
+    from jax import shard_map
+    fn = shard_map(
+        shard_fn, mesh=mesh,
+        in_specs=(P(None, axis, None), P(axis), P(axis))
+        + tuple(P(axis) for _ in consts),
+        out_specs=P(None, axis, None), check_vma=False)
+    out = fn(ct3.data, jnp.asarray(key_d), jnp.asarray(key_s), *consts)
+    return Ciphertext(data=out, level=ct3.level, scale=ct3.scale)

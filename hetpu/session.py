@@ -136,3 +136,18 @@ class Session:
         elif b.level > a.level:
             b = self.reach_level(b, a.level)
         return a, b
+
+    # -- scheme protocol for the linalg layer (CKKS flavor) ------------
+    # BfvSession implements the same three methods with exact-integer
+    # semantics, so ``linalg.Matrix`` works over either scheme (the
+    # reference's Matrix is used by both BFV and CKKS demos,
+    # ``matrix_operations.cpp:211-349`` vs ``:495-629``).
+    def mat_multiply(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self.ev.multiply(a, b)
+
+    def mat_reduce_finish(self, c3: Ciphertext) -> Ciphertext:
+        """Finish an accumulated 3-part sum: relin + rescale (CKKS)."""
+        return self.ev.rescale(self.ev.relinearize(c3, self.rk))
+
+    def mat_mult_finish(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
+        return self.ev.multiply_relin_rescale(a, b, self.rk)
