@@ -109,3 +109,33 @@ def test_offload_math_roundtrip():
     x = np.random.default_rng(1).uniform(0.5, 1.5, deep.sess.slots)
     got = _offload(deep, lambda t: deep.inv(t, x, 0.8, 5))
     np.testing.assert_allclose(got.real, 1 / x, rtol=5e-3)
+
+
+def test_pipeline_mesh_evaluator(rng):
+    """Multi-host pipeline stand-in (offload.pipeline): client encrypts a
+    batch, the evaluator shards it over ALL 8 virtual devices (dp mesh)
+    and answers over the wire; client decrypt-verifies.  The evaluator
+    session comes from the wire — no secret material."""
+    import threading
+    from hetpu.offload import pipeline
+
+    ta, tb = native.pipe_pair()
+    err = []
+    served = []
+
+    def srv():
+        try:
+            served.append(pipeline.serve_pipeline(tb, n_devices=8))
+        except Exception as e:
+            err.append(e)
+
+    th = threading.Thread(target=srv)
+    th.start()
+    try:
+        max_err, res = pipeline.run_client(ta, batch=8, params="test_tiny",
+                                           seed=SEED)
+    finally:
+        th.join(timeout=300)
+    assert not err, err
+    assert served == [8]
+    assert max_err < 5e-3, f"pipeline decrypt error {max_err}"
