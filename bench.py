@@ -34,12 +34,15 @@ def main():
     sess = cached_session("bench_n14", seed=b"\x21" * 32, galois_steps=[1])
     rng = np.random.default_rng(0)
 
-    BATCH = int(os.environ.get("HETPU_BENCH_BATCH", "32"))
+    # swept on v5e (round 3): B=8 → 10.7k, B=16 → 10.5k, B=24 → 10.3k,
+    # B=32 → 9.6k ops/s — small batches keep the per-step working set
+    # VMEM-resident
+    BATCH = int(os.environ.get("HETPU_BENCH_BATCH", "8"))
     # chained steps per dispatch: the axon relay costs ~23 ms per dispatched
     # executable (scripts/probe_k.py), so short chains measure RPC overhead,
     # not the framework; a long scan chain amortizes it and stays a true
     # sequential dependency chain
-    K = int(os.environ.get("HETPU_BENCH_K", "384"))
+    K = int(os.environ.get("HETPU_BENCH_K", "768"))
     base = sess.encrypt(rng.uniform(-1, 1, sess.slots))
     b_ct = sess.encrypt(rng.uniform(-1, 1, sess.slots))
     a = base.with_(data=jnp.stack([base.data] * BATCH))

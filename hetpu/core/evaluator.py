@@ -232,8 +232,13 @@ class Evaluator:
         plan: KeySwitchPlan = self.ctx.keyswitch_plan(level)
         J = plan.num_digits
         nd = self.ctx.num_data
-        sel = lambda a: jnp.concatenate(
-            [a[:J, :, : level + 1], a[:J, :, nd:]], axis=2)
+        if level + 1 == nd:
+            # top level: the key-basis slice is the whole key — skip the
+            # concatenate (a full-key copy XLA does not always elide)
+            sel = lambda a: a[:J]
+        else:
+            sel = lambda a: jnp.concatenate(
+                [a[:J, :, : level + 1], a[:J, :, nd:]], axis=2)
         k, ks = sel(ksk.data), sel(ksk.shoup)
         q = plan.q
 
