@@ -133,8 +133,27 @@ def serve(port_lo=PORT_LO, port_hi=PORT_HI):
     return Transport(sock=conn), port
 
 
-def connect(port_lo=PORT_LO, port_hi=PORT_HI) -> Transport:
-    """Connect with a port scan (reference setup_client)."""
+def connect(port_lo=PORT_LO, port_hi=PORT_HI, *, retries: int = 0,
+            backoff: float = 0.2) -> Transport:
+    """Connect with a port scan (reference setup_client).
+
+    ``retries`` > 0 adds failure recovery the reference lacks (SURVEY.md
+    §5: socket errors there are perror+exit): the scan is retried with
+    exponential backoff, so a client may start before its server."""
+    import time
+
+    attempt = 0
+    while True:
+        try:
+            return _connect_once(port_lo, port_hi)
+        except IOError:
+            if attempt >= retries:
+                raise
+            time.sleep(backoff * (2 ** attempt))
+            attempt += 1
+
+
+def _connect_once(port_lo: int, port_hi: int) -> Transport:
     lib = _load()
     if lib:
         fd = lib.hetpu_connect(port_lo, port_hi)

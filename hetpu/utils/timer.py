@@ -25,4 +25,6 @@ class Timer:
     def toc(self, label: str = "", block_on=None) -> float:
         dt = self.tocr(block_on)
         print(f"{label}: {dt:.6f} s" if label else f"{dt:.6f} s")
+        from . import metrics
+        metrics.emit("timer", label=label, seconds=round(dt, 6))
         return dt
