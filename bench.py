@@ -42,7 +42,7 @@ def main():
     # executable (scripts/probe_k.py), so short chains measure RPC overhead,
     # not the framework; a long scan chain amortizes it and stays a true
     # sequential dependency chain
-    K = int(os.environ.get("HETPU_BENCH_K", "768"))
+    K = int(os.environ.get("HETPU_BENCH_K", "1536"))
     base = sess.encrypt(rng.uniform(-1, 1, sess.slots))
     b_ct = sess.encrypt(rng.uniform(-1, 1, sess.slots))
     a = base.with_(data=jnp.stack([base.data] * BATCH))

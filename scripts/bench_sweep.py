@@ -1,5 +1,7 @@
 """Sweep (BATCH, K) for the headline fused op in ONE process/session —
 separates per-dispatch RPC overhead from true per-step device time."""
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import time
 import numpy as np
 import jax

@@ -1,3 +1,5 @@
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 from hetpu.utils.keycache import cached_session
 sess = cached_session("bench_n14", seed=b"\x21" * 32, galois_steps=[1])

@@ -1,5 +1,7 @@
 """Is the ~1.2ms/step a per-CALL or per-SCAN-STEP cost?  Time the same
 trivial chain at several K; per-call overhead shows as ms/step ~ 1/K."""
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import time
 import numpy as np
 import jax, jax.numpy as jnp

@@ -3,6 +3,8 @@ honest timing (amortizes the remote backend's per-dispatch overhead the
 same way bench.py does).  Each phase is timed as K chained steps inside
 one jitted scan; a no-op xor baseline is printed for overhead reference.
 """
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import time
 

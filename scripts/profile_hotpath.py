@@ -4,6 +4,8 @@ Times each sub-op with the honest chained-dependency harness used by
 bench.py (xor a data-dependent tag into the input so iterations can't be
 overlapped away, close the loop with a device reduction).
 """
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import time
 

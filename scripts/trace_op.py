@@ -1,3 +1,5 @@
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 import jax, jax.numpy as jnp
 from hetpu.utils.keycache import cached_session
