@@ -20,7 +20,11 @@ from ..utils import Timer
 
 def _sess(preset, small, steps):
     t = Timer()
-    s = Session.create("test_deep" if small else preset, galois_steps=steps)
+    # disk key cache: repeat demo runs skip the minutes-long deep-chain
+    # keygen (fixed demo seed — these are demos, not production keys)
+    from ..utils.keycache import cached_session
+    s = cached_session("test_deep" if small else preset,
+                       seed=b"\x77" * 32, galois_steps=steps)
     t.toc("keygen+context time")
     return s
 

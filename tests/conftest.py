@@ -42,6 +42,7 @@ import pytest  # noqa: E402
 # (documented < 15 min with a warm /tmp/hetpu_jax_cache_cpu).
 _SMOKE_MODULES = {
     "test_modular", "test_rns", "test_ntt", "test_dsl", "test_twofloat",
+    "test_aux",
 }
 
 
