@@ -278,7 +278,9 @@ def bfv_params(
     else:
         nf = -(-plain_bits // 30)
         bits_each = -(-plain_bits // nf)
-        cand = [p for p in nt.gen_primes(bits_each, nf + 4, two_n)
+        # the coeff-modulus mids draw from the same ≡1 mod 2N pool when
+        # prime_bits == bits_each — generate enough spares past them
+        cand = [p for p in nt.gen_primes(bits_each, nf + levels + 6, two_n)
                 if p not in used]
         factors = tuple(cand[:nf])
         t = 1
@@ -336,9 +338,16 @@ _PRESETS = {
                                         num_special=4),
     # reference matrix_operations.cpp:145-150 — BFV N=2^13
     "bfv_small": lambda: bfv_params(1 << 13, levels=2),
-    # reference matrix_operations.cpp:360-361 — BFV N=2^13, 60-bit CRT
-    # batching modulus (PlainModulus::Batching(poly, 60)); α=2 keyswitch
-    "bfv_batch": lambda: bfv_params(1 << 13, levels=4, plain_bits=60,
+    # reference matrix_operations.cpp:360-361 — 60-bit CRT batching
+    # modulus (PlainModulus::Batching(poly, 60)).  N=2^14 instead of the
+    # reference's 2^13: batching smears slot values across full-range
+    # coefficients mod t, so fresh invariant noise ≈ t²/Q and ONE
+    # multiply consumes ~log2(2tN) ≈ 75 bits — with t=2^60 that needs
+    # log2(Q) ≳ 200, beyond the 128-bit bound at N=2^13 (the reference
+    # demo's budget hits 0 there; SEAL's own defaults included).
+    # Q = 31+6·30 = 211 bits → ~89 bits fresh, ~12 left after a 5×5
+    # matmul — exact.
+    "bfv_batch": lambda: bfv_params(1 << 14, levels=6, plain_bits=60,
                                     num_special=2),
     # reference matrix_operations.cpp:640-641 — BFV, t = 2^32
     # (non-batching element-per-ct matpow).  N=2^14 instead of the
