@@ -3,7 +3,6 @@ limb-ops/s") — same honest scan-chained harness as bench.py.
 
 Prints one JSON line per metric:
   rotation ops/s           (Galois keyswitch — the diag-matmul hot loop)
-  hoisted rotation ops/s   (shared digit decompose across 8 steps)
   NTT limb-plane transforms/s at N=2^14 (fwd, Montgomery epilogue)
 """
 import pathlib, sys
@@ -39,8 +38,10 @@ def chain(fn, x0, K, reps=2):
 
 def main():
     B, K = 8, 256
-    sess = cached_session("bench_n14", seed=b"\x21" * 32,
-                          galois_steps=[1, 2, 4, 8, 16, 32, 64, 128])
+    # galois_steps=[1] matches bench.py's cached session (keygen for a
+    # full power-of-two keyset over the remote relay exceeds the round's
+    # timeout budget; one step is enough for a rotation-rate metric)
+    sess = cached_session("bench_n14", seed=b"\x21" * 32, galois_steps=[1])
     rng = np.random.default_rng(0)
     ct = sess.encrypt(rng.uniform(-1, 1, sess.slots))
     a = ct.with_(data=jnp.stack([ct.data] * B))
@@ -49,20 +50,6 @@ def main():
                a.data, K)
     print(json.dumps({"metric": "ckks_rotate_n14_ops_per_s",
                       "value": round(B / dt, 2), "unit": "ops/s"}))
-
-    steps = [1, 2, 4, 8, 16, 32, 64, 128]
-
-    def hoisted(d):
-        outs = sess.ev.rotate_hoisted(a.with_(data=d), steps, sess.gk)
-        acc = outs[0].data
-        for o in outs[1:]:
-            acc = jnp.bitwise_xor(acc, o.data)      # cheap combine
-        return acc
-
-    dt = chain(hoisted, a.data, K // 8)
-    print(json.dumps({"metric": "ckks_rotate_hoisted8_n14_ops_per_s",
-                      "value": round(B * len(steps) / dt, 2),
-                      "unit": "ops/s"}))
 
     from hetpu.core.ntt import ntt_fwd_mont
     tabs = sess.ctx.tables_full
