@@ -284,14 +284,26 @@ class BfvScheme:
         a_b, b_b = to_b(a), to_b(b)
 
         def tensor(x, y, q, qn):
-            c0, c1 = x[..., 0, :, :], x[..., 1, :, :]
-            d0, d1 = y[..., 0, :, :], y[..., 1, :, :]
-            t0 = mont_mul(c0, d0, q, qn)
-            t2 = mont_mul(c1, d1, q, qn)
-            t1 = mod_sub(mod_sub(
-                mont_mul(mod_add(c0, c1, q), mod_add(d0, d1, q), q, qn),
-                t0, q), t2, q)
-            return jnp.stack([t0, t1, t2], axis=-3)
+            ka, kb = x.shape[-3], y.shape[-3]
+            if ka == 2 and kb == 2:                    # Karatsuba 2×2
+                c0, c1 = x[..., 0, :, :], x[..., 1, :, :]
+                d0, d1 = y[..., 0, :, :], y[..., 1, :, :]
+                t0 = mont_mul(c0, d0, q, qn)
+                t2 = mont_mul(c1, d1, q, qn)
+                t1 = mod_sub(mod_sub(
+                    mont_mul(mod_add(c0, c1, q), mod_add(d0, d1, q), q, qn),
+                    t0, q), t2, q)
+                return jnp.stack([t0, t1, t2], axis=-3)
+            # general part-wise convolution (deferred-relin chains feed
+            # k-part inputs — parity with Evaluator.multiply)
+            parts = []
+            for k in range(ka + kb - 1):
+                acc = None
+                for i in range(max(0, k - kb + 1), min(ka, k + 1)):
+                    t = mont_mul(x[..., i, :, :], y[..., k - i, :, :], q, qn)
+                    acc = t if acc is None else mod_add(acc, t, q)
+                parts.append(acc)
+            return jnp.stack(parts, axis=-3)
 
         prod_q = tensor(a.data, b.data, mc_q["q"], mc_q["qinv_neg"])
         prod_b = tensor(a_b, b_b, mont_B["q"], mont_B["qinv_neg"])

@@ -40,6 +40,10 @@ class Encryptor:
         self._jit_pk: dict[int, object] = {}
         self._jit_sym: dict[int, object] = {}
 
+    # Key material is passed as an ARGUMENT, never closed over: a
+    # closed-over jax.Array is baked into the HLO as a constant, so every
+    # new key would recompile (and poison the persistent compile cache —
+    # 100-300 s per compile over a remote-device relay).
     def _pk_kernel(self, lvl: int):
         fn = self._jit_pk.get(lvl)
         if fn is None:
@@ -47,9 +51,8 @@ class Encryptor:
             tabs = ctx.tables(lvl)
             mc = ctx.mont(lvl)
             q, qn = mc["q"], mc["qinv_neg"]
-            pk = self.pk.data
 
-            def kern(u, e0, e1, pt_data):
+            def kern(u, e0, e1, pt_data, pk):
                 u_m = ntt_fwd_mont(u, tabs)
                 e0m = ntt_fwd_mont(e0, tabs)
                 e1m = ntt_fwd_mont(e1, tabs)
@@ -69,9 +72,8 @@ class Encryptor:
             tabs = ctx.tables(lvl)
             mc = ctx.mont(lvl)
             q, qn = mc["q"], mc["qinv_neg"]
-            s_full = self.sk.data
 
-            def kern(a, e, pt_data):
+            def kern(a, e, pt_data, s_full):
                 e_m = ntt_fwd_mont(e, tabs)
                 s = s_full[: lvl + 1]
                 ptm = shoup_mul(pt_data, tabs.r, tabs.r_shoup, tabs.q)
@@ -95,7 +97,7 @@ class Encryptor:
         e0 = rnd.signed_to_rns(rnd.gaussian(seed, 2, n), tabs.q)
         e1 = rnd.signed_to_rns(rnd.gaussian(seed, 3, n), tabs.q)
         data = self._pk_kernel(lvl)(jnp.asarray(u), jnp.asarray(e0),
-                                    jnp.asarray(e1), pt.data)
+                                    jnp.asarray(e1), pt.data, self.pk.data)
         return Ciphertext(data=data, level=lvl, scale=pt.scale)
 
     def encrypt_symmetric(self, pt: Plaintext,
@@ -111,7 +113,8 @@ class Encryptor:
         seed = seed if seed is not None else rnd.new_seed()
         a = rnd.uniform_rns(seed, 101, tabs.q, n)
         e = rnd.signed_to_rns(rnd.gaussian(seed, 102, n), tabs.q)
-        data = self._sym_kernel(lvl)(jnp.asarray(a), jnp.asarray(e), pt.data)
+        data = self._sym_kernel(lvl)(jnp.asarray(a), jnp.asarray(e), pt.data,
+                                     self.sk.data)
         return Ciphertext(data=data, level=lvl, scale=pt.scale)
 
 
@@ -133,9 +136,8 @@ class Decryptor:
             mc = ctx.mont(lvl)
             q, qn = mc["q"], mc["qinv_neg"]
             parts = ct.num_parts
-            s_full = self.sk.data
 
-            def kern(data):
+            def kern(data, s_full):
                 s = s_full[: lvl + 1]
                 acc = data[..., 0, :, :]
                 s_pow = s
@@ -146,7 +148,7 @@ class Decryptor:
                 return ntt_inv(acc, ctx.tables(lvl), strip_mont=True)
 
             fn = self._jit[key] = jax.jit(kern)
-        return np.asarray(fn(ct.data))
+        return np.asarray(fn(ct.data, self.sk.data))
 
     def decrypt(self, ct: Ciphertext) -> np.ndarray:
         """Decrypt + CKKS-decode to complex slot values."""

@@ -140,11 +140,18 @@ class KeyGenerator:
         mc_full = modular.mont_constants(tabs.primes)
         r_sh = modular.shoup_precompute(mc_full["r_mod_q"], mc_full["q"])
 
-        def ksk_kernel(a, e_rns, s_prime):
-            """a, e_rns: [J, L_tot, N]; s_prime: [L_tot, N] Montgomery NTT
-            → ([J, 2, L_tot, N] key, same-shape Shoup companions)."""
+        # NOTE: key material (secret, s') is passed as ARGUMENTS, never
+        # closed over — a closed-over jax.Array becomes an HLO constant,
+        # which (a) changes the persistent-cache key every time the seed
+        # changes and (b) forces a full 100-300 s recompile per session
+        # over the remote-device relay (root cause of round 3's
+        # minutes-long keygen).  Closure constants below (tabs, δ, masks)
+        # are deterministic functions of the params — cache-stable.
+        def ksk_kernel(a, e_rns, s_prime, s_data):
+            """a, e_rns: [J, L_tot, N]; s_prime/s_data: [L_tot, N]
+            Montgomery NTT → ([J, 2, L_tot, N] key, Shoup companions)."""
             e_m = ntt_fwd_mont(e_rns, tabs)
-            b = mod_neg(mod_add(mont_mul(a, self.secret.data, tabs.q,
+            b = mod_neg(mod_add(mont_mul(a, s_data, tabs.q,
                                          self._qinv_full), e_m, tabs.q),
                         tabs.q)
             term = shoup_mul(s_prime, self._delta, self._delta_shoup, tabs.q)
@@ -168,6 +175,8 @@ class KeyGenerator:
 
         self._pk_jit = jax.jit(pk_kernel)
         self._s2_jit = jax.jit(lambda s: mont_mul(s, s, tabs.q, self._qinv_full))
+        self._spow_jit = jax.jit(
+            lambda sp, s: mont_mul(sp, s, tabs.q, self._qinv_full))
 
     def _next_domain(self) -> int:
         self._domain += 1
@@ -201,7 +210,7 @@ class KeyGenerator:
     def _kswitch_key(self, s_prime: jax.Array) -> KSwitchKey:
         """Switching key for s' → s.  s_prime: [L_tot, N] Montgomery NTT."""
         a, e = self._sample_jln()
-        k, ks = self._ksk_jit(a, e, s_prime)
+        k, ks = self._ksk_jit(a, e, s_prime, self.secret.data)
         return KSwitchKey(data=k, shoup=ks)
 
     def create_relin_keys(self, count: int = 1) -> RelinKeys:
@@ -211,9 +220,7 @@ class KeyGenerator:
         s_pow = self._s2_jit(self.secret.data)   # s²
         keys = [self._kswitch_key(s_pow)]
         for _ in range(count - 1):
-            s_pow = jax.jit(lambda sp: mont_mul(
-                sp, self.secret.data, self.ctx.tables_full.q,
-                self._qinv_full))(s_pow)
+            s_pow = self._spow_jit(s_pow, self.secret.data)
             keys.append(self._kswitch_key(s_pow))
         return RelinKeys(key=keys[0], more=tuple(keys[1:]))
 

@@ -63,12 +63,19 @@ def _egcd(a: int, b: int) -> tuple[int, int]:
 
 
 @lru_cache(maxsize=None)
-def gen_primes(bit_size: int, count: int, ntt_size: int) -> tuple[int, ...]:
+def gen_primes(bit_size: int, count: int, ntt_size: int,
+               strict: bool = True) -> tuple[int, ...]:
     """Generate ``count`` distinct primes of ``bit_size`` bits with
     q ≡ 1 (mod ntt_size)  (pass ntt_size = 2N for negacyclic NTT support).
 
     Searches downward from 2^bit_size like SEAL's ``CoeffModulus::Create``
     so the primes are as large as the bit size allows (stable CKKS scale).
+
+    ``strict=False`` returns however many primes exist in the bit window
+    (possibly fewer than ``count``) instead of raising — used when a caller
+    only needs *spares* and can tolerate pool exhaustion (e.g. the BFV
+    CRT plain-factor pool at small N, where few small primes ≡ 1 mod 2N
+    exist at all).
     """
     if bit_size > 31:
         raise ValueError("TPU-native build uses <=31-bit primes (uint32 lanes)")
@@ -79,7 +86,7 @@ def gen_primes(bit_size: int, count: int, ntt_size: int) -> tuple[int, ...]:
         if is_prime(q):
             found.append(q)
         q -= ntt_size
-    if len(found) < count:
+    if strict and len(found) < count:
         raise ValueError(
             f"not enough {bit_size}-bit primes = 1 mod {ntt_size}: got {len(found)}"
         )

@@ -279,9 +279,16 @@ def bfv_params(
         nf = -(-plain_bits // 30)
         bits_each = -(-plain_bits // nf)
         # the coeff-modulus mids draw from the same ≡1 mod 2N pool when
-        # prime_bits == bits_each — generate enough spares past them
-        cand = [p for p in nt.gen_primes(bits_each, nf + levels + 6, two_n)
+        # prime_bits == bits_each — request spares past them, but tolerate
+        # pool exhaustion (small N has few primes ≡ 1 mod 2N at small bit
+        # sizes); only the nf factors themselves are mandatory
+        cand = [p for p in nt.gen_primes(bits_each, nf + levels + 6, two_n,
+                                         strict=False)
                 if p not in used]
+        if len(cand) < nf:
+            raise ValueError(
+                f"not enough {bits_each}-bit batching primes = 1 mod {two_n} "
+                f"disjoint from the coeff modulus: need {nf}, got {len(cand)}")
         factors = tuple(cand[:nf])
         t = 1
         for f in factors:
@@ -336,6 +343,14 @@ _PRESETS = {
     # deep high-precision chain, N=2^15, depth 11 @ 2^55
     "ckks_deep_hi": lambda: ckks_params(1 << 15, levels=11, scale_bits=55,
                                         num_special=4),
+    # FLAGSHIP precision config (VERDICT r3 item 4): fft at reference
+    # depth (fft.cpp:18-21 is 10 levels) but scale 2^55 ≫ the reference's
+    # 2^40 working precision (matrix_operations.cpp:845-852); N=2^15
+    # because ten 55-bit levels exceed the 128-bit bound at 2^14.  (The
+    # least-squares flagship reuses ckks_deep_hi: depth 11 = exactly the
+    # pipeline's consumption at inv_iters=6.)
+    "ckks_fft_hi": lambda: ckks_params(1 << 15, levels=10, scale_bits=55,
+                                       num_special=4),
     # reference matrix_operations.cpp:145-150 — BFV N=2^13
     "bfv_small": lambda: bfv_params(1 << 13, levels=2),
     # reference matrix_operations.cpp:360-361 — 60-bit CRT batching

@@ -13,7 +13,8 @@ from ..utils import Timer
 
 def demo_fft(small=False):
     n = 16 if small else 128
-    sess = Session.create("test_deep" if small else "ckks_fft",
+    # full size: scale-2^55 pair-rescale precision (> reference's 2^40)
+    sess = Session.create("test_deep" if small else "ckks_fft_hi",
                           galois_steps=[1])
     rng = np.random.default_rng(0)
     sig = rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)
@@ -25,14 +26,17 @@ def demo_fft(small=False):
     got = np.array([sess.decrypt(out.with_(data=out.data[i]))[0]
                     for i in range(n)])
     want = np.fft.fft(sig)
-    print(f"n={n} max err =", np.abs(got - want).max())
+    err = np.abs(got - want).max()
+    print(f"n={n} max err =", err)
     print("spectrum[:4] =", got[:4])
+    if not small:
+        assert err < 2 ** -10, f"fft error {err} above 2^-10"
 
 
 def demo_bfft(small=False):
     n = 16 if small else 128
     sess = Session.create(
-        "test_deep" if small else "ckks_fft",
+        "test_deep" if small else "ckks_fft_hi",
         galois_steps=sorted({s for h in
                              [n >> (i + 1) for i in range(n.bit_length() - 1)]
                              for s in (h, -h)}))
@@ -45,7 +49,10 @@ def demo_bfft(small=False):
     # un-reverse at decode (reference fft.cpp:224-238)
     got = sess.decrypt(out)[:n]
     want = hefft.bit_reverse_order(np.fft.fft(sig))
-    print(f"n={n} max err =", np.abs(got - want).max())
+    err = np.abs(got - want).max()
+    print(f"n={n} max err =", err)
+    if not small:
+        assert err < 2 ** -10, f"bfft error {err} above 2^-10"
 
 
 DEMOS = {"fft": demo_fft, "bfft": demo_bfft}

@@ -167,7 +167,10 @@ def demo_sum_elems(small=False):
 
 def demo_least_squares_2d(small=False):
     """THE flagship pipeline (reference :833-1040, SURVEY §3.1)."""
-    sess = _sess("ckks_deep", small, [1, 2, 4])
+    # reference runs this at scale 2^40 (matrix_operations.cpp:845-852);
+    # ckks_deep_hi is the pair-rescale scale-2^55 preset — depth 11 =
+    # exactly the pipeline's consumption at inv_iters=6
+    sess = _sess("ckks_deep_hi", small, [1, 2, 4])
     rng = np.random.default_rng(0)
     n = 5
     x = rng.uniform(0.5, 2.0, n)
@@ -183,15 +186,22 @@ def demo_least_squares_2d(small=False):
     t.toc("HE least squares time", block_on=ct_a.data)
     a, b = sess.decrypt(ct_a).real[0], sess.decrypt(ct_b).real[0]
     sy, sxy = y.sum(), (x * y).sum()
-    print(f"fit: a={a:.4f} b={b:.4f}")
-    print(f"expected: a={(n*sxy-sx*sy)/D:.4f} b={(sxx*sy-sx*sxy)/D:.4f}")
+    ea, eb = (n * sxy - sx * sy) / D, (sxx * sy - sx * sxy) / D
+    print(f"fit: a={a:.6f} b={b:.6f}")
+    print(f"expected: a={ea:.6f} b={eb:.6f}")
+    err = max(abs(a - ea), abs(b - eb))
+    print(f"max err = {err:.3e}")
+    if not small:
+        assert err < 2 ** -10, f"least-squares error {err} above 2^-10"
 
 
 def demo_batched_matmul_ckks(small=False):
     """64×64 diagonal-method matmul (reference :1042-1175) — the rotation
     hot loop, with hoisted decomposition."""
     d = 8 if small else 64
-    sess = _sess("ckks_small", small, list(range(1, d)))
+    # full size runs the scale-2^44 high-precision pair-rescale preset
+    # (> reference's 2^40 working precision, matrix_operations.cpp:845)
+    sess = _sess("ckks_hi", small, list(range(1, d)))
     rng = np.random.default_rng(0)
     a = rng.uniform(-1, 1, (d, d))
     b = rng.uniform(-1, 1, (d, d))
@@ -200,7 +210,10 @@ def demo_batched_matmul_ckks(small=False):
     t = Timer()
     out = ma.matmul(mb)
     t.toc("HE matrix multiplication time", block_on=out.ct.data)
-    print(f"{d}x{d} max err =", np.abs(out.decrypt().real - a @ b).max())
+    err = np.abs(out.decrypt().real - a @ b).max()
+    print(f"{d}x{d} max err =", err)
+    if not small:
+        assert err < 2 ** -10, f"batched matmul error {err} above 2^-10"
 
 
 DEMOS = {

@@ -58,7 +58,15 @@ def evaluate_sharded(sess: Session, cts, n_devices: int | None = None):
     devs = np.array(jax.devices())
     nd = int(n_devices or devs.size)
     mesh = Mesh(devs[:nd], axis_names=("dp",))
+    if len(cts) % 2 != 0:
+        raise ValueError(
+            f"evaluate_sharded pairs operands: need an even ciphertext "
+            f"count, got {len(cts)}")
     half = len(cts) // 2
+    if half % nd != 0:
+        raise ValueError(
+            f"batch of {half} pairs does not divide the {nd}-device dp "
+            "mesh; pad the request or pass n_devices")
     xa = jnp.stack([c.data for c in cts[:half]])
     xb = jnp.stack([c.data for c in cts[half:]])
     proto = cts[0]

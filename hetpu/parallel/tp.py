@@ -228,6 +228,11 @@ def tp_relinearize(sess, ct3: Ciphertext, mesh: Mesh,
     ``mesh[axis]``.  Returns a 2-part ciphertext whose data is limb-sharded
     (NamedSharding P(None, axis, None)); bit-identical to
     ``Evaluator.relinearize``."""
+    if ct3.num_parts != 3:
+        raise ValueError(
+            f"tp_relinearize expects a 3-part ciphertext, got "
+            f"{ct3.num_parts} parts (relinearize deferred chains with "
+            "Evaluator.relinearize first)")
     tp = mesh.shape[axis]
     plan = build_tp_plan(sess.ctx, ct3.level, tp)
     L, Lloc, alpha, J = plan.L, plan.Lloc, plan.alpha, plan.J

@@ -4,7 +4,13 @@ Keygen for deep chains costs minutes (host-side sampling + per-digit RLWE
 pairs); benchmarks and demos re-creating identical deterministic sessions
 (same preset + seed) can reload the keys from disk instead.  Uses the
 wire-format serializer (core/serial.py) — so this doubles as a test of the
-checkpoint/restore path (SURVEY.md §5 checkpoint/resume)."""
+checkpoint/restore path (SURVEY.md §5 checkpoint/resume).
+
+SECURITY: the cache stores the RAW SECRET KEY on disk (0o700 dir /
+0o600 files, but still plaintext).  It exists for benchmarks, demos and
+tests with throwaway deterministic keys — do NOT point it at production
+keys; a real deployment should checkpoint only public material (pk/rk/gk
+via core/serial) and keep sk in a KMS."""
 
 from __future__ import annotations
 
@@ -53,7 +59,8 @@ def cached_session(params: HeParams | str, *, seed: bytes,
         except ValueError:
             path.unlink()      # stale wire version — regenerate below
     sess = Session.create(params, seed=seed, galois_steps=galois_steps)
-    CACHE_DIR.mkdir(parents=True, exist_ok=True)
+    CACHE_DIR.mkdir(parents=True, exist_ok=True, mode=0o700)
+    os.chmod(CACHE_DIR, 0o700)        # pre-existing dir: tighten it too
     kg_sk = sess.decryptor.sk
     np.savez(
         path,
@@ -63,4 +70,5 @@ def cached_session(params: HeParams | str, *, seed: bytes,
         rk=np.frombuffer(serial.dump_relin_keys(sess.rk), dtype=np.uint8),
         gk=np.frombuffer(serial.dump_galois_keys(sess.gk), dtype=np.uint8),
     )
+    os.chmod(path, 0o600)
     return sess

@@ -117,3 +117,21 @@ def test_scalar_constant_multiply(scal, rng):
     assert int(got[0]) == (x * y) % t
     # all other coefficients stay zero (single-coefficient operands)
     assert all(int(c) == 0 for c in got[1:])
+
+
+def test_multiply_kpart(crt, rng):
+    """Deferred-relin chain: (a·b) [3-part] × c [2-part] → 4-part ct whose
+    s³ term must survive the HPS tensor (general part-wise convolution —
+    regression for the 2-part-only tensor() that silently dropped part 2)."""
+    t = crt.ctx.params.plain_modulus
+    a = rng.integers(0, t, crt.slots, dtype=np.int64)
+    b = rng.integers(0, t, crt.slots, dtype=np.int64)
+    c = rng.integers(0, t, crt.slots, dtype=np.int64)
+    c3 = crt.multiply(crt.encrypt(a), crt.encrypt(b))    # 3 parts
+    assert c3.num_parts == 3
+    d = crt.scheme.multiply(c3, crt.encrypt(c), crt.ev)  # 4 parts
+    assert d.num_parts == 4
+    assert crt.noise_budget(d) > 0
+    got = crt.scheme.decrypt(d, crt.sk_data)
+    want = (a.astype(object) * b % t) * c % t
+    np.testing.assert_array_equal(got, want)
