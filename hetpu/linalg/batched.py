@@ -351,6 +351,16 @@ class BatchedMatrix:
             raise ValueError(f"inner dim {self.cols} vs {other.rows}")
         a, b = sess.align(self.ct, other.ct)
         d, p = self.rows, other.cols
+        mesh = getattr(sess, "mesh", None)
+        if mesh is not None and self._mesh_routable(mesh, d, p):
+            # route the rotation hot loop through the bucketed sharded
+            # kernel (parallel.bucketed_matvec): rotation buckets + galois
+            # key shards per device, one modular all-reduce over ICI
+            from .. import parallel
+            out = parallel.bucketed_matvec(
+                sess, a, b.with_(data=b.data[0]), d, mesh, sess.mesh_axis)
+            return self._wrap(out.with_(data=out.data[None]), "col",
+                              rows=d, cols=1)
         q = sess.ctx.mont(a.level)["q"]
         rots = ev.rotate_hoisted(b, list(range(d)), sess.gk)  # batched over cols
         prods = []
@@ -361,6 +371,18 @@ class BatchedMatrix:
         c3 = Ciphertext(data=acc, level=a.level, scale=a.scale * b.scale)
         out = ev.rescale(ev.relinearize(c3, sess.rk))
         return self._wrap(out, "col", rows=d, cols=p)
+
+    def _mesh_routable(self, mesh, d: int, p: int) -> bool:
+        """bucketed_matvec covers the matvec case: single column, rotation
+        count divisible by the mesh axis, galois keys for EVERY step
+        0..d-1 (step 0 = identity-element self-keyswitch)."""
+        from ..core import galois
+        sess = self.sess
+        axis = sess.mesh_axis
+        if axis not in mesh.shape or p != 1 or d % mesh.shape[axis]:
+            return False
+        n = sess.ctx.params.poly_degree
+        return all(sess.gk.has(galois.rotation_elt(n, s)) for s in range(d))
 
     def matmul_cols_t(self, other: "BatchedMatrix") -> "BatchedMatrix":
         """col×col → A·Bᵀ in diag layout (the reference's col×colᵀ path):

@@ -11,7 +11,10 @@ We implement the *intended* behavior (1/√(2x)).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import fft as hefft
@@ -21,8 +24,19 @@ from . import recv_request, send_reply
 
 
 def _stack(sess, cts):
-    """Operand list → one batched ciphertext."""
-    return cts[0].with_(data=jnp.stack([c.data for c in cts]))
+    """Operand list → one batched ciphertext, dp-sharded over the local
+    device mesh when possible (the evaluator pod runs the REAL workloads
+    sharded, not just the demo step — every downstream jitted op
+    propagates the batch-axis sharding; cross-batch reductions lower to
+    XLA collectives).  ``HETPU_SERVER_MESH=0`` disables."""
+    data = jnp.stack([c.data for c in cts])
+    nd = len(jax.devices())
+    if (os.environ.get("HETPU_SERVER_MESH", "1") != "0"
+            and nd > 1 and len(cts) % nd == 0):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.array(jax.devices()), axis_names=("dp",))
+        data = jax.device_put(data, NamedSharding(mesh, P("dp")))
+    return cts[0].with_(data=data)
 
 
 def handle(header, sess, cts):

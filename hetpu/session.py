@@ -36,6 +36,19 @@ class Session:
     # quirk (``he_fft.cpp:40-61``, SURVEY.md §2c) — twiddles/masks/constants
     # are encoded once per (key, level, scale) and reused forever.
     _pt_cache: dict = dfield(default_factory=dict, repr=False)
+    # active device mesh (set via use_mesh): linalg hot loops route
+    # through the sharded kernels (parallel.bucketed_matvec / tp) when set
+    mesh: object = None
+    mesh_axis: str = "rot"
+
+    def use_mesh(self, mesh, axis: str = "rot") -> "Session":
+        """Activate a device mesh: subsequent ``BatchedMatrix`` matvecs
+        bucket their rotation hot loop across ``mesh[axis]``
+        (parallel.bucketed_matvec).  Pass ``None`` to deactivate.
+        Returns self for chaining."""
+        self.mesh = mesh
+        self.mesh_axis = axis
+        return self
 
     # -- construction ---------------------------------------------------
     @classmethod

@@ -1,0 +1,286 @@
+"""Record the reference's FULL benchmark surface on real hardware.
+
+The reference wraps a Timer around 14 measured quantities but never
+records them (BASELINE.md).  This script runs every one of them on the
+current jax backend and checks the results into ``BENCH_WORKLOADS.json``:
+
+  keygen      sk/pk/relin/galois phase times     matrix_operations.cpp:858-874
+  op          complex multiply                   matrix_operations.cpp:58-138
+  matpow      element-per-ct A^5, BFV t=2^32     matrix_operations.cpp:311-320
+  batch5x5    slot-batched 5x5 matmul BFV+CKKS   matrix_operations.cpp:459,599
+  diag64      64x64 diagonal matmul              matrix_operations.cpp:1139-1141
+  lsq         least-squares stage times          matrix_operations.cpp:918-959
+  fft/bfft    128-pt encrypted FFT               fft.cpp:102-104,204-206
+  sweep       op latencies vs chain level        math_operations.cpp:614-619
+  secondary   rotation / hoisted-rotation ops/s, NTT planes/s, enc matvec/s
+              (BASELINE.json secondary metrics)
+
+Each section writes/merges into the JSON immediately, so a partial run
+still records everything it finished (``--only SECTION`` reruns one).
+Demo-stage timings are captured from the demos' own Timer events via the
+HETPU_METRICS JSON-line sink (utils/metrics.py) — the same numbers a user
+sees on stdout.
+"""
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import argparse
+import json
+import os
+import tempfile
+import time
+
+OUT = pathlib.Path(__file__).resolve().parent.parent / "BENCH_WORKLOADS.json"
+
+
+def _merge(section: str, payload):
+    data = {}
+    if OUT.exists():
+        data = json.loads(OUT.read_text())
+    import jax
+    dev = jax.devices()[0]
+    data.setdefault("meta", {})
+    data["meta"].update({
+        "platform": dev.platform,
+        "device": getattr(dev, "device_kind", str(dev)),
+        "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
+    })
+    data[section] = payload
+    OUT.write_text(json.dumps(data, indent=1, sort_keys=True) + "\n")
+    print(f"[bench_workloads] wrote section {section!r}")
+
+
+def _run_demo_with_timers(fn, *args, **kw):
+    """Run a demo fn capturing its Timer events → {label: seconds}."""
+    with tempfile.NamedTemporaryFile("r", suffix=".jsonl") as f:
+        old = os.environ.get("HETPU_METRICS")
+        os.environ["HETPU_METRICS"] = f.name
+        try:
+            t0 = time.perf_counter()
+            fn(*args, **kw)
+            total = time.perf_counter() - t0
+        finally:
+            if old is None:
+                os.environ.pop("HETPU_METRICS", None)
+            else:
+                os.environ["HETPU_METRICS"] = old
+        stages = {}
+        for line in open(f.name):
+            ev = json.loads(line)
+            if ev.get("event") == "timer" and ev.get("label"):
+                stages[ev["label"]] = ev["seconds"]
+    stages["total_wall_s"] = round(total, 3)
+    return stages
+
+
+# ----------------------------------------------------------------------
+# sections
+# ----------------------------------------------------------------------
+
+def sec_keygen():
+    """Keygen phases (reference matrix_operations.cpp:858-874): fresh
+    seed (no cache, no stale compile-cache benefit beyond the shared
+    HLO — the point of the round-4 fix)."""
+    import jax
+    from hetpu.core.context import Context
+    from hetpu.core.keys import KeyGenerator
+    from hetpu.core.params import preset
+    out = {}
+    for name in ("bench_n14", "ckks_deep_hi"):
+        t0 = time.perf_counter()
+        ctx = Context(preset(name))
+        t1 = time.perf_counter()
+        kg = KeyGenerator(ctx)                       # fresh random seed
+        jax.block_until_ready(kg.secret.data)
+        t2 = time.perf_counter()
+        pk = kg.create_public_key()
+        jax.block_until_ready(pk.data)
+        t3 = time.perf_counter()
+        rk = kg.create_relin_keys()
+        jax.block_until_ready(rk.key.data)
+        t4 = time.perf_counter()
+        gk = kg.create_galois_keys()                 # full ±2^i keyset
+        jax.block_until_ready(gk.keys[-1].data)
+        t5 = time.perf_counter()
+        out[name] = {
+            "context_s": round(t1 - t0, 3),
+            "secret_key_s": round(t2 - t1, 3),
+            "public_key_s": round(t3 - t2, 3),
+            "relin_keys_s": round(t4 - t3, 3),
+            "galois_keys_s": round(t5 - t4, 3),
+            "galois_elts": len(gk.elts),
+            "total_s": round(t5 - t0, 3),
+        }
+    return out
+
+
+def sec_workloads():
+    from hetpu.demos import matrix_operations as mo
+    out = {}
+    for name in ("op", "elemwise_square", "matmul", "matpow",
+                 "batch_matmul_bfv", "batch_matmul_ckks", "sum_elems",
+                 "least_squares_2d", "batched_matmul_ckks"):
+        try:
+            out[name] = _run_demo_with_timers(mo.DEMOS[name])
+        except Exception as e:  # record the failure, keep going
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"  {name}: {out[name]}")
+    return out
+
+
+def sec_fft():
+    from hetpu.demos import fft as fd
+    out = {}
+    for name in ("fft", "bfft"):
+        try:
+            out[name] = _run_demo_with_timers(fd.DEMOS[name])
+        except Exception as e:
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"  {name}: {out[name]}")
+    return out
+
+
+def sec_sweep():
+    """Chain-level op-latency sweep at N=2^15 (the reference's 26
+    hand-built ladders, math_operations.cpp:614-619) — a subset of
+    levels spanning the range."""
+    from hetpu.core.params import chain_sweep
+    from hetpu.demos.math_operations import bench_he_all
+    from hetpu.session import Session
+    want = {2, 6, 10, 14, 18, 22, 26}
+    out = {}
+    for lv, params in chain_sweep(1 << 15, 2, 26):
+        if lv not in want:
+            continue
+        sess = Session.create(params, galois_steps=[1])
+        times = bench_he_all(sess)
+        out[f"levels_{lv}"] = {k: round(v * 1e3, 3) for k, v in times.items()}
+        print(f"  levels={lv}: {out[f'levels_{lv}']} (ms)")
+    return out
+
+
+def _chain(fn, x0, K, reps=2):
+    """Honest scan-chained throughput (see bench.py): sequential
+    dependency, one dispatch per rep."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def run(x, tag0):
+        def body(tag, _):
+            y = fn(jnp.bitwise_xor(x, tag))
+            tag = jnp.sum(y.reshape(-1)[:8], dtype=jnp.uint32) & jnp.uint32(1)
+            return tag, ()
+        tag, _ = jax.lax.scan(body, tag0, None, length=K)
+        return tag
+
+    import jax.numpy as jnp
+    _ = int(run(x0, jnp.uint32(0)))
+    t0 = time.perf_counter()
+    tag = jnp.uint32(0)
+    for _ in range(reps):
+        tag = run(x0, tag)
+    _ = int(tag)
+    return (time.perf_counter() - t0) / (K * reps)
+
+
+def sec_secondary():
+    """Rotation / hoisted-rotation / NTT / enc-matvec throughput.
+    Full ±2^i rotation keyset (the round-3 galois_steps=[1] trim is
+    gone — keygen is seconds now)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hetpu.utils.keycache import cached_session
+
+    out = {}
+    B, K = 8, 256
+    sess = cached_session("bench_n14", seed=b"\x22" * 32)   # full keyset
+    rng = np.random.default_rng(0)
+    ct = sess.encrypt(rng.uniform(-1, 1, sess.slots))
+    a = ct.with_(data=jnp.stack([ct.data] * B))
+
+    dt = _chain(lambda d: sess.ev.rotate(a.with_(data=d), 1, sess.gk).data,
+                a.data, K)
+    out["ckks_rotate_n14_ops_per_s"] = round(B / dt, 2)
+
+    # hoisted 8-step rotation bundle: ops/s counts ROTATIONS (8 per call)
+    # — quantifies the hoisting win over per-rotation keyswitch
+    # (reference he_linalg.cpp:977-1003)
+    steps = [1, 2, 4, 8, 16, 32, 64, 128]   # in the ±2^i keyset
+    Kh = 64
+
+    def hoist(d):
+        outs = sess.ev.rotate_hoisted(a.with_(data=d), steps, sess.gk)
+        return outs[-1].data
+    dt = _chain(hoist, a.data, Kh)
+    out["ckks_rotate_hoisted8_n14_ops_per_s"] = round(B * len(steps) / dt, 2)
+
+    from hetpu.core.ntt import ntt_fwd_mont
+    tabs = sess.ctx.tables_full
+    L = len(tabs.primes)
+    x = jnp.stack([jnp.asarray(
+        rng.integers(0, tabs.primes[i], sess.ctx.params.poly_degree,
+                     dtype=np.uint32)) for i in range(L)])
+    xb = jnp.stack([x] * B)
+    q = jnp.asarray(tabs.q)
+    dt = _chain(lambda d: ntt_fwd_mont(d % q, tabs), xb, K)
+    out["ntt_fwd_n14_limb_planes_per_s"] = round(B * L / dt, 1)
+
+    # enc matvec/s — BASELINE.json config 2: 64x64 diagonal-method
+    # encrypted matrix-vector multiply with rotation keys, N=2^13
+    from hetpu.linalg import BatchedMatrix
+    dsess = cached_session("ckks_small", seed=b"\x23" * 32,
+                           galois_steps=list(range(1, 64)))
+    d = 64
+    mat = rng.uniform(-1, 1, (d, d))
+    vec = rng.uniform(-1, 1, d)
+    bm = BatchedMatrix.encrypt(dsess, mat, layout="diag")
+    vb = BatchedMatrix.encrypt(dsess, vec[:, None], layout="col")
+    import jax
+    from hetpu.linalg.batched import BatchedMatrix as BM
+
+    # the linalg layer is pure-traceable: jit the WHOLE 64-rotation
+    # matvec as one program and scan-chain it, so the metric is kernel
+    # throughput, not 64 × per-dispatch relay latency
+    def mv_fn(vdata):
+        v = BM(dsess, vb.ct.with_(data=vdata), rows=d, cols=1,
+               layout="col")
+        return bm.matmul(v).ct.data
+    dt = _chain(mv_fn, vb.ct.data, K=16)
+    out["enc_matvec64_n13_ops_per_s"] = round(1 / dt, 2)
+    mv = bm.matmul(vb)
+    got = mv.decrypt().real[:, 0]
+    out["enc_matvec64_max_err"] = float(np.abs(got - mat @ vec).max())
+    return out
+
+
+SECTIONS = {
+    "keygen": sec_keygen,
+    "workloads": sec_workloads,
+    "fft": sec_fft,
+    "sweep": sec_sweep,
+    "secondary": sec_secondary,
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", choices=sorted(SECTIONS), default=None)
+    args = ap.parse_args()
+    names = [args.only] if args.only else list(SECTIONS)
+    for name in names:
+        print(f"[bench_workloads] section {name} ...")
+        t0 = time.perf_counter()
+        try:
+            payload = SECTIONS[name]()
+        except Exception as e:
+            payload = {"error": f"{type(e).__name__}: {e}"}
+        _merge(name, payload)
+        print(f"[bench_workloads] {name} done in "
+              f"{time.perf_counter() - t0:.1f}s")
+
+
+if __name__ == "__main__":
+    main()

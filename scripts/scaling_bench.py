@@ -73,22 +73,63 @@ def bench_mesh(sess, nd: int, per_dev_batch: int, K: int, reps: int) -> float:
     return B * K / best
 
 
+def bench_tp(sess, nd: int, K: int, reps: int) -> float:
+    """STRONG-scaling relinearize/s with the key basis limb-sharded over
+    an nd-device tp mesh (parallel.tp cached kernels) — the latency
+    analog of the dp mode's throughput number."""
+    from hetpu.parallel import tp as tpmod
+    rng = np.random.default_rng(0)
+    x = sess.encrypt(rng.uniform(-1, 1, sess.slots))
+    c3 = sess.ev.multiply(x, x)
+    if nd == 1:
+        fn = lambda: sess.ev.relinearize(c3, sess.rk)
+    else:
+        mesh = Mesh(np.array(jax.devices()[:nd]), axis_names=("tp",))
+        fn = lambda: tpmod.tp_relinearize(sess, c3, mesh)
+    jax.block_until_ready(fn().data)          # compile + cache warm
+    best = 1e9
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        for _ in range(K):
+            out = fn()
+        jax.block_until_ready(out.data)
+        best = min(best, time.perf_counter() - t0)
+    return K / best
+
+
 def main():
     maybe_init_distributed()
-    preset = os.environ.get("HETPU_SCALE_PRESET",
-                            "test_tiny" if _cpu else "bench_n14")
+    mode = os.environ.get("HETPU_SCALE_MODE", "dp")      # dp | tp
+    # tp needs the data-limb count divisible by the mesh size:
+    # test_dnum (8 data limbs) on CPU, bench_n14 (9 → sizes 1/3) on TPU
+    default_preset = ("test_dnum" if mode == "tp" else "test_tiny") \
+        if _cpu else "bench_n14"
+    preset = os.environ.get("HETPU_SCALE_PRESET", default_preset)
     K = int(os.environ.get("HETPU_SCALE_K", "8" if _cpu else "96"))
     per_dev = int(os.environ.get("HETPU_SCALE_BATCH", "4" if _cpu else "32"))
     sess = cached_session(preset, seed=b"\x21" * 32, galois_steps=[1])
     n_all = len(jax.devices())
-    sizes = [n for n in (1, 2, 4, 8, 16) if n <= n_all]
+    L = sess.ctx.num_data
+    sizes = [n for n in (1, 2, 4, 8, 16) if n <= n_all
+             and (mode != "tp" or L % n == 0)]
     base = None
     for nd in sizes:
+        if mode == "tp":
+            ops = bench_tp(sess, nd, K, reps=3)
+            # strong scaling: speedup vs 1 device (ideal = nd)
+            if base is None:
+                base = ops
+            print(json.dumps({"mode": "tp", "n_devices": nd,
+                              "relin_per_s": round(ops, 1),
+                              "speedup_vs_1dev": round(ops / base, 3)}),
+                  flush=True)
+            continue
         ops = bench_mesh(sess, nd, per_dev, K, reps=3)
         if base is None:
             base = ops
         eff = ops / (base * nd)
-        print(json.dumps({"n_devices": nd, "ops_per_s": round(ops, 1),
+        print(json.dumps({"mode": "dp", "n_devices": nd,
+                          "ops_per_s": round(ops, 1),
                           "efficiency_vs_1dev": round(eff, 4)}), flush=True)
 
 

@@ -139,3 +139,26 @@ def test_pipeline_mesh_evaluator(rng):
     assert not err, err
     assert served == [8]
     assert max_err < 5e-3, f"pipeline decrypt error {max_err}"
+
+
+def test_offload_matmul_sharded_8dev(client, rng):
+    """The server's REAL matmul workload runs dp-sharded over all 8
+    virtual devices: 4×2 @ 2×4 → 8-ct operand stacks divide the mesh, so
+    _stack places them P("dp") and every downstream evaluator op runs
+    sharded (VERDICT r3 item 7)."""
+    from hetpu.offload import server as srv
+
+    # unit check: an 8-ct stack is placed across all 8 devices
+    import jax
+    cts = [client.sess.encrypt(rng.uniform(-1, 1, client.sess.slots))
+           for _ in range(8)]
+    stacked = srv._stack(client.sess, cts)
+    assert len(stacked.data.sharding.device_set) == 8
+
+    # end-to-end over the wire: matmul whose stacks hit the sharded path
+    batch = 8
+    a = rng.uniform(-1, 1, (4, 2, batch))
+    b = rng.uniform(-1, 1, (2, 4, batch))
+    got = _offload(client, lambda t: client.batch_matmul(t, a, b))
+    want = np.einsum("ikb,kjb->ijb", a, b)
+    np.testing.assert_allclose(got[:, :, :batch].real, want, atol=1e-2)

@@ -149,3 +149,59 @@ def test_cp_ntt_bit_exact_roundtrip(rng):
     mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("cp",))
     txt = jax.jit(lambda a: cpmod.cp_ntt_fwd(a, t, mesh)).lower(x).as_text()
     assert re.search(r"all[-_]to[-_]all", txt), "no all_to_all in lowering"
+
+
+def test_tp_apply_galois_bit_exact(rng):
+    """tp rotation keyswitch (parallel.tp.tp_apply_galois / tp_rotate):
+    bit-identical to Evaluator.apply_galois, and the cached kernel/key
+    slices are reused across calls (no per-call rebuild)."""
+    import jax
+    from jax.sharding import Mesh
+    from hetpu.core import galois
+    from hetpu.parallel import tp as tpmod
+    from hetpu.session import Session
+
+    sess = Session.create("test_dnum", seed=b"\x43" * 32, galois_steps=[1, 2])
+    x = rng.uniform(-1, 1, sess.slots)
+    ct = sess.encrypt(x)
+    n = sess.ctx.params.poly_degree
+    mesh = Mesh(np.array(jax.devices()[:4]), axis_names=("tp",))
+    for steps in (1, 2):
+        elt = galois.rotation_elt(n, steps)
+        want = sess.ev.apply_galois(ct, elt, sess.gk)
+        got = tpmod.tp_rotate(sess, ct, steps, mesh)
+        np.testing.assert_array_equal(np.asarray(got.data),
+                                      np.asarray(want.data))
+        np.testing.assert_allclose(
+            sess.decrypt(got.with_(data=jax.device_get(got.data))).real,
+            np.roll(x, -steps), atol=5e-3)
+    # caching: plan + kernel + per-key slices built exactly once per config
+    assert len(sess.ctx._tp_plans) == 1
+    assert len(sess.ctx._tp_kernels) == 1
+    # one cached slice set per galois key used (+ none rebuilt on repeat)
+    n_keys = len(sess.ctx._tp_keys)
+    tpmod.tp_rotate(sess, ct, 1, mesh)
+    assert len(sess.ctx._tp_keys) == n_keys
+
+
+def test_matmul_routes_through_mesh(sess, rng):
+    """BatchedMatrix diag-matvec routes through bucketed_matvec when the
+    session has an active mesh (sess.use_mesh), matching the local path."""
+    from hetpu.linalg import BatchedMatrix
+    d = 8
+    A = rng.uniform(-1, 1, (d, d))
+    v = rng.uniform(-1, 1, (d, 1))
+    ma = BatchedMatrix.encrypt(sess, A, layout="diag")
+    mv = BatchedMatrix.encrypt(sess, v, layout="col")
+    local = ma.matmul(mv).decrypt().real
+    mesh = parallel.make_mesh((4,), ("rot",))
+    try:
+        sess.use_mesh(mesh, "rot")
+        routed = ma.matmul(mv)
+    finally:
+        sess.use_mesh(None)
+    got = routed.decrypt().real
+    np.testing.assert_allclose(got, A @ v, atol=1e-2)
+    # the bucketed kernel accumulates in a different order than the local
+    # hoisted loop — same ciphertext-level result up to rounding noise
+    np.testing.assert_allclose(got, local, atol=1e-4)
