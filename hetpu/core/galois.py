@@ -26,10 +26,17 @@ from . import nt
 
 
 @lru_cache(maxsize=None)
-def _exp_to_index(n: int) -> dict[int, int]:
-    """Map odd exponent e (mod 2N) → NTT output index i with 2·br(i)+1 = e."""
+def _exp_vectors(n: int):
+    """(E, A): E[i] = odd exponent 2·br(i)+1 of output index i;
+    A[e] = index with that exponent (A[E] = arange)."""
     logn = n.bit_length() - 1
-    return {2 * nt.bit_reverse(i, logn) + 1: i for i in range(n)}
+    br = np.zeros(n, dtype=np.int64)
+    for b in range(logn):                    # vectorized bit reversal
+        br |= (((np.arange(n) >> b) & 1) << (logn - 1 - b))
+    E = 2 * br + 1                           # [N] odd exponents mod 2N
+    A = np.zeros(2 * n, dtype=np.int32)
+    A[E] = np.arange(n, dtype=np.int32)
+    return E, A
 
 
 @lru_cache(maxsize=None)
@@ -37,14 +44,8 @@ def permutation(n: int, galois_elt: int) -> np.ndarray:
     """Index array π (int32 [N]) with σ_t(a)_ntt = a_ntt[π]."""
     if galois_elt % 2 == 0:
         raise ValueError("galois element must be odd")
-    two_n = 2 * n
-    idx = _exp_to_index(n)
-    logn = n.bit_length() - 1
-    perm = np.empty(n, dtype=np.int32)
-    for i in range(n):
-        e = 2 * nt.bit_reverse(i, logn) + 1
-        perm[i] = idx[(galois_elt * e) % two_n]
-    return perm
+    E, A = _exp_vectors(n)
+    return A[(galois_elt * E) % (2 * n)]
 
 
 def rotation_elt(n: int, steps: int) -> int:

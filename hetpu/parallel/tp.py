@@ -252,8 +252,12 @@ def _tp_consts(ctx, level: int, tp: int, mesh: Mesh, axis: str):
         return cache[key]
     plan = build_tp_plan(ctx, level, tp)
     sh = NamedSharding(mesh, P(axis))
-    consts = tuple(jax.device_put(plan.sharded[k], sh)
-                   for k in _CONST_NAMES)
+    # ensure_compile_time_eval: this may first run inside an outer jit
+    # trace (e.g. a user jitting a pipeline containing tp_relinearize) —
+    # the cached arrays must be CONCRETE, never tracers
+    with jax.ensure_compile_time_eval():
+        consts = tuple(jax.device_put(plan.sharded[k], sh)
+                       for k in _CONST_NAMES)
     cache[key] = consts
     return consts
 
@@ -281,7 +285,8 @@ def _tp_key_slices(ctx, ksk, level: int, tp: int, mesh: Mesh, axis: str):
         [ks[:, :, d * Lloc:(d + 1) * Lloc], ks[:, :, L:]], axis=2)
         for d in range(tp)])
     sh = NamedSharding(mesh, P(axis))
-    out = (ksk, jax.device_put(key_d, sh), jax.device_put(key_s, sh))
+    with jax.ensure_compile_time_eval():      # concrete even under trace
+        out = (ksk, jax.device_put(key_d, sh), jax.device_put(key_s, sh))
     cache[key] = out
     return out[1], out[2]
 
