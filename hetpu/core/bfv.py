@@ -76,7 +76,7 @@ class BfvScheme:
         # slot layout: slot (row r, col c) ↔ exponent ±5^c (SEAL batching
         # semantics: elt 5^k rotates rows, conjugation swaps rows)
         half = n // 2
-        exp_to_idx = galois._exp_to_index(n)
+        _, exp_to_idx = galois._exp_vectors(n)   # A[e] = NTT index
         slot_to_eval = np.empty(n, dtype=np.int64)
         e = 1
         for c in range(half):

@@ -264,6 +264,27 @@ class MxuNttTables:
         self.q_half = np.array([q // 2 for q in t.primes],
                                dtype=np.int32).reshape(L, 1)
 
+        # UNIQUE-prime dedup: bases with repeated primes (the per-digit
+        # foreign key bases concatenate overlapping prime sets) would
+        # otherwise stack one ~1 MB digit matrix PER ROW into the jitted
+        # HLO — deep chains blew past the remote-compile payload limit.
+        # Matrices/mid-twiddles are per-(n, prime), so store one copy per
+        # unique prime and select per-row by index (Pallas: scalar-
+        # prefetched block index; jnp: gather only when duplicates exist).
+        seen: dict = {}
+        rep = []
+        idx = np.empty(L, dtype=np.int32)
+        for li, q in enumerate(t.primes):
+            j = seen.get(q)
+            if j is None:
+                j = seen[q] = len(rep)
+                rep.append(li)
+            idx[li] = j
+        self.rep_rows = np.asarray(rep, dtype=np.int64)
+        self.prime_idx = idx
+        self.uniq_primes = tuple(t.primes[int(r)] for r in rep)
+        self.has_dups = len(rep) != L
+
         self._t = t
 
         self.plain = _recombine_consts(t.primes, None)     # identity epilogue
@@ -275,10 +296,11 @@ class MxuNttTables:
     # recombination) — built lazily per direction.
     @property
     def mid_fwd(self):
+        """Mid tables over UNIQUE primes: 5 × [U, n1, n2]."""
         hit = self.__dict__.get("_mid_fwd")
         if hit is None:
             hit = self.__dict__["_mid_fwd"] = _mid_tables(
-                np.asarray(self._t.t_fwd), self.primes)
+                np.asarray(self._t.t_fwd)[self.rep_rows], self.uniq_primes)
         return hit
 
     @property
@@ -286,7 +308,7 @@ class MxuNttTables:
         hit = self.__dict__.get("_mid_inv")
         if hit is None:
             hit = self.__dict__["_mid_inv"] = _mid_tables(
-                np.asarray(self._t.t_inv), self.primes)
+                np.asarray(self._t.t_inv)[self.rep_rows], self.uniq_primes)
         return hit
 
     def strip_extra(self, per_limb: np.ndarray):
@@ -305,10 +327,11 @@ class MxuNttTables:
     # same parameter set shares one host-side construction.
 
     def _mats(self, kind: str) -> np.ndarray:
+        """Digit matrices over UNIQUE primes: [U, ...] s8."""
         cached = self.__dict__.get(kind)
         if cached is None:
             t = self._t
-            rows = [_prime_matrix(t, li, kind) for li in range(len(t.primes))]
+            rows = [_prime_matrix(t, int(li), kind) for li in self.rep_rows]
             cached = self.__dict__[kind] = np.stack(rows)
         return cached
 
@@ -415,20 +438,26 @@ def _recombine_jnp(groups, consts, q3):
                      shape(corr), q3)
 
 
+def _per_row(mt: MxuNttTables, a):
+    """[U, ...] unique-prime table → per-row view (gather iff dups)."""
+    return jnp.asarray(a)[mt.prime_idx] if mt.has_dups else jnp.asarray(a)
+
+
 def _fwd_jnp(x4, mt: MxuNttTables, consts_last):
     lead = x4.shape[:-3]
     L, n1, n2 = x4.shape[-3:]
     q3 = jnp.asarray(mt.q_col).reshape(L, 1, 1)
     qh3 = jnp.asarray(mt.q_half).reshape(L, 1, 1)
+    mid = tuple(_per_row(mt, m) for m in mt.mid_fwd)
     ds = _extract_digit_list(x4, q3, qh3)
     xd = jnp.concatenate(ds, axis=-2)                      # [..., L, 4n1, n2]
-    g = jnp.einsum("lkz,...lzc->...lkc", jnp.asarray(mt.w1), xd,
+    g = jnp.einsum("lkz,...lzc->...lkc", _per_row(mt, mt.w1), xd,
                    preferred_element_type=_I32)
     g = g.reshape(*lead, L, 4, n1, n2)
-    y = _recombine_jnp(g, mt.mid_fwd, q3)                  # twiddle folded
+    y = _recombine_jnp(g, mid, q3)                         # twiddle folded
     ds2 = _extract_digit_list(y, q3, qh3)
     zd = jnp.concatenate(ds2, axis=-1)                     # [..., L, n1, 4n2]
-    g2 = jnp.einsum("...laz,lzw->...law", zd, jnp.asarray(mt.w2t),
+    g2 = jnp.einsum("...laz,lzw->...law", zd, _per_row(mt, mt.w2t),
                     preferred_element_type=_I32)
     g2 = g2.reshape(*lead, L, n1, 4, n2)
     g2 = jnp.moveaxis(g2, -2, -3)                          # [..., 4, n1, n2]
@@ -440,15 +469,16 @@ def _inv_jnp(x4, mt: MxuNttTables, consts_last):
     L, n1, n2 = x4.shape[-3:]
     q3 = jnp.asarray(mt.q_col).reshape(L, 1, 1)
     qh3 = jnp.asarray(mt.q_half).reshape(L, 1, 1)
+    mid = tuple(_per_row(mt, m) for m in mt.mid_inv)
     ds = _extract_digit_list(x4, q3, qh3)
     xd = jnp.concatenate(ds, axis=-1)                      # [..., L, n1, 4n2]
-    g = jnp.einsum("...laz,lzw->...law", xd, jnp.asarray(mt.m2t),
+    g = jnp.einsum("...laz,lzw->...law", xd, _per_row(mt, mt.m2t),
                    preferred_element_type=_I32)
     g = jnp.moveaxis(g.reshape(*lead, L, n1, 4, n2), -2, -3)
-    y = _recombine_jnp(g, mt.mid_inv, q3)                  # twiddle folded
+    y = _recombine_jnp(g, mid, q3)                         # twiddle folded
     ds2 = _extract_digit_list(y, q3, qh3)
     zd = jnp.concatenate(ds2, axis=-2)                     # [..., L, 4n1, n2]
-    g2 = jnp.einsum("lkz,...lzc->...lkc", jnp.asarray(mt.m1), zd,
+    g2 = jnp.einsum("lkz,...lzc->...lkc", _per_row(mt, mt.m1), zd,
                     preferred_element_type=_I32)
     return _recombine_jnp(g2.reshape(*lead, L, 4, n1, n2), consts_last, q3)
 
@@ -506,7 +536,7 @@ def _row_block(rows: int) -> int:
 def _pallas_call(n1: int, n2: int, L: int, rows: int, left_first: bool):
     rb = _row_block(rows)
 
-    def kernel(x_ref, lm_ref, rm_ref,
+    def kernel(idx_ref, x_ref, lm_ref, rm_ref,
                m0_ref, m1_ref, m2_ref, m3_ref, m4_ref,
                q_ref, qh_ref, c_ref, cs_ref, cR_ref, cRs_ref, corr_ref,
                out_ref):
@@ -524,27 +554,35 @@ def _pallas_call(n1: int, n2: int, L: int, rows: int, left_first: bool):
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     # grid is (limb, row-block) — rows INNERMOST, so the per-limb digit
     # matrices and mid twiddle tables are DMA'd once per limb and reused
-    # across every row block.
-    by_limb = lambda shape: pl.BlockSpec(
-        (1, *shape), lambda l, r: (l,) + (0,) * len(shape),
+    # across every row block.  Tables are stored per UNIQUE prime; the
+    # scalar-prefetched idx picks the block for row l (bases with
+    # repeated primes — per-digit foreign key bases — share one copy).
+    by_uniq = lambda shape: pl.BlockSpec(
+        (1, *shape), lambda l, r, idx: (idx[l],) + (0,) * len(shape),
         memory_space=pltpu.VMEM)
 
-    def call(x4, lm, rm, mid, q, qh, last):
-        out = pl.pallas_call(
-            kernel,
+    def call(x4, prime_idx, lm, rm, mid, q, qh, last):
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
             grid=(L, rows // rb),
             in_specs=[
-                pl.BlockSpec((rb, 1, n1, n2), lambda l, r: (r, l, 0, 0),
+                pl.BlockSpec((rb, 1, n1, n2),
+                             lambda l, r, idx: (r, l, 0, 0),
                              memory_space=pltpu.VMEM),
-                by_limb(lm.shape[1:]), by_limb(rm.shape[1:]),
-                by_limb((n1, n2)), by_limb((n1, n2)), by_limb((n1, n2)),
-                by_limb((n1, n2)), by_limb((n1, n2)),
+                by_uniq(lm.shape[1:]), by_uniq(rm.shape[1:]),
+                by_uniq((n1, n2)), by_uniq((n1, n2)), by_uniq((n1, n2)),
+                by_uniq((n1, n2)), by_uniq((n1, n2)),
                 smem(), smem(), smem(), smem(), smem(), smem(), smem(),
             ],
-            out_specs=pl.BlockSpec((rb, 1, n1, n2), lambda l, r: (r, l, 0, 0),
+            out_specs=pl.BlockSpec((rb, 1, n1, n2),
+                                   lambda l, r, idx: (r, l, 0, 0),
                                    memory_space=pltpu.VMEM),
+        )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((rows, L, n1, n2), jnp.uint32),
-        )(x4, lm, rm, *mid, q, qh, *last)
+        )(prime_idx, x4, lm, rm, *mid, q, qh, *last)
         return out
 
     return call
@@ -560,7 +598,8 @@ def _run_pallas(a, mt: MxuNttTables, *, forward: bool, consts_last):
     else:
         lm, rm, mid = mt.m1, mt.m2t, mt.mid_inv
     call = _pallas_call(mt.n1, mt.n2, L, rows, forward)
-    out = call(x4, lm, rm, mid, mt.q_col, mt.q_half, consts_last)
+    out = call(x4, jnp.asarray(mt.prime_idx), lm, rm, mid,
+               mt.q_col, mt.q_half, consts_last)
     return out.reshape(*lead, L, mt.n)
 
 
