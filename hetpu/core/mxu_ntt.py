@@ -526,12 +526,26 @@ def _kernel_body(x, lmat, rmat, mid, last, q, qh,
 
 
 def _row_block(rows: int) -> int:
-    for rb in (8, 4, 2, 1):
+    """Rows per grid step.  Smaller blocks = more grid steps per limb =
+    deeper Mosaic double-buffering of the x/out DMAs; bigger blocks
+    amortize table reuse.  HETPU_NTT_RB overrides for sweeps."""
+    pref = os.environ.get("HETPU_NTT_RB")
+    # measured on v5e (N=2^14, B=8): rb=4 wins a STANDALONE NTT
+    # microbench by ~16% (double-buffered x/out DMAs) but loses
+    # ~1% inside the fused mult+relin+rescale program, where
+    # adjacent pallas calls already overlap — keep 8 first
+    order = (int(pref),) if pref else (8, 4, 2, 1)
+    for rb in order:
         if rows % rb == 0:
             return rb
     return 1
 
 
+# NOTE (measured, v5e): batching the rb rows of a block into one matmul
+# pair (rows along the free dim) is 0.37x SLOWER than this per-row loop —
+# the int8 [rb,4,n1,n2] transposes it needs dominate, and Mosaic cannot
+# lay out some of them at all.  The sequential per-row loop is the fast
+# shape; don't resurrect the "fused rows" idea without re-measuring.
 @lru_cache(maxsize=None)
 def _pallas_call(n1: int, n2: int, L: int, rows: int, left_first: bool):
     rb = _row_block(rows)
