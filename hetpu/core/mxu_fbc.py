@@ -35,6 +35,14 @@ VMEM, grid over batch rows) on TPU, and a pure-jnp path for CPU tests.
 Exactness: identical to rns.fbc_apply up to the alpha rounding rule, which
 uses the same f32 estimate on centered values.  Pinned against bigint
 reference math in tests/test_mxu_fbc.py.
+
+STATUS — documented experiment, OFF by default (``HETPU_MXU_FBC=1``
+enables).  Measured on v5e at the bench_n14 shapes: 12% SLOWER than the
+VPU shoup loop — the contraction K = 4S+1 ≈ 25 underfills the 128-wide
+MXU, and the digit extract/recombine VPU overhead exceeds the saved MACs.
+Kept (tested, bit-pinned) because the break-even flips for LARGER source
+bases: K grows with the limb count, so very deep chains or multi-special
+digit lifts may favor it — re-measure before enabling in production.
 """
 
 from __future__ import annotations

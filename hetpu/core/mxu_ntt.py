@@ -555,11 +555,13 @@ def _pallas_call(n1: int, n2: int, L: int, rows: int, left_first: bool):
                q_ref, qh_ref, c_ref, cs_ref, cR_ref, cRs_ref, corr_ref,
                out_ref):
         l = pl.program_id(0)
-        q = q_ref[l, 0]
-        qh = qh_ref[l, 0]
+        # per-row consts are 1-D [L] SMEM arrays: a [L, 1] shape would be
+        # lane-padded x128 and blow the 1 MB SMEM at deep-chain row
+        # counts (seen at L=361: 7 x 184 KB > SMEM)
+        q = q_ref[l]
+        qh = qh_ref[l]
         mid = (m0_ref[0], m1_ref[0], m2_ref[0], m3_ref[0], m4_ref[0])
-        last = (c_ref[l, 0], cs_ref[l, 0], cR_ref[l, 0], cRs_ref[l, 0],
-                corr_ref[l, 0])
+        last = (c_ref[l], cs_ref[l], cR_ref[l], cRs_ref[l], corr_ref[l])
         for p in range(rb):
             out_ref[p, 0] = _kernel_body(
                 x_ref[p, 0], lm_ref[0], rm_ref[0], mid, last,
@@ -592,11 +594,13 @@ def _pallas_call(n1: int, n2: int, L: int, rows: int, left_first: bool):
                                    lambda l, r, idx: (r, l, 0, 0),
                                    memory_space=pltpu.VMEM),
         )
+        flat = lambda a: np.asarray(a).reshape(-1)
         out = pl.pallas_call(
             kernel,
             grid_spec=grid_spec,
             out_shape=jax.ShapeDtypeStruct((rows, L, n1, n2), jnp.uint32),
-        )(prime_idx, x4, lm, rm, *mid, q, qh, *last)
+        )(prime_idx, x4, lm, rm, *mid, flat(q), flat(qh),
+          *(flat(c) for c in last))
         return out
 
     return call
