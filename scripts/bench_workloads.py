@@ -145,7 +145,14 @@ def sec_fft():
 def sec_sweep():
     """Chain-level op-latency sweep at N=2^15 (the reference's 26
     hand-built ladders, math_operations.cpp:614-619) — a subset of
-    levels spanning the range."""
+    levels spanning the range.
+
+    NOTE on absolute values: these are per-CALL latencies through this
+    environment's remote-device transport, which has a ~5 ms pipelined
+    dispatch floor — device execution time for the small ops is far
+    lower (see bench.py's scan-chained methodology for the floor-free
+    throughput number).  The sweep's value is the LEVEL-SCALING shape,
+    matching the reference's levels-2..26 tables."""
     from hetpu.core.params import chain_sweep
     from hetpu.demos.math_operations import bench_he_all
     from hetpu.session import Session
