@@ -326,10 +326,46 @@ class Context:
             acc = (acc + residues[i].astype(object) * coef) % Q
         return np.where(acc > Q // 2, acc - Q, acc)
 
+    def crt_lift_small(self, residues: np.ndarray, level: int,
+                       bound_bits: int) -> np.ndarray:
+        """Centered lift of values KNOWN to be < 2^bound_bits in magnitude
+        (e.g. a decrypted CKKS coefficient ≈ scale·|m| + noise ≪ Q): CRT
+        over only the first k limbs with q_0…q_{k-1} product > 2^{bound+2},
+        then a consistency check against limb k — on mismatch (value
+        larger than promised) falls back to the full lift.  Deep hi-prec
+        chains lift 26 limbs of 800-bit bigints otherwise (~47 s per
+        decode at N=2^15; this path is ~20× cheaper)."""
+        primes = self.params.moduli[: level + 1]
+        k, prod = 0, 1
+        while k < len(primes) and prod.bit_length() <= bound_bits + 2:
+            prod *= primes[k]
+            k += 1
+        if k >= len(primes):
+            return self.crt_lift(residues, level)
+        Qk = prod
+        acc = np.zeros(residues.shape[-1], dtype=object)
+        for i in range(k):
+            q = primes[i]
+            qhat = Qk // q
+            coef = qhat * nt.modinv(qhat % q, q) % Qk
+            acc = (acc + residues[i].astype(object) * coef) % Qk
+        out = np.where(acc > Qk // 2, acc - Qk, acc)
+        # consistency: the lifted value must reproduce limb k's residues
+        qc = int(primes[k])
+        if not np.array_equal((out % qc).astype(np.int64),
+                              residues[k].astype(np.int64)):
+            return self.crt_lift(residues, level)      # bound was wrong
+        return out
+
     def to_rns(self, coeffs: np.ndarray, level: int) -> np.ndarray:
-        """Object/int array of (possibly negative) ints → [ℓ+1, N] uint32."""
+        """Int array (possibly negative; int64 or object) → [ℓ+1, N] u32."""
         primes = self.params.moduli[: level + 1]
         out = np.empty((len(primes), coeffs.shape[-1]), dtype=np.uint32)
+        if coeffs.dtype != object:
+            c = coeffs.astype(np.int64)        # vectorized per-limb modulo
+            for i, q in enumerate(primes):
+                out[i] = (c % np.int64(q)).astype(np.uint32)
+            return out
         c = coeffs.astype(object)
         for i, q in enumerate(primes):
             out[i] = (c % q).astype(np.uint64).astype(np.uint32)

@@ -24,8 +24,11 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
+import jax
+
 from .ciphertext import Plaintext
 from .context import Context
+from . import modular
 from .modular import shoup_precompute
 from .ntt import ntt_fwd, ntt_inv
 from .params import Scheme
@@ -36,6 +39,7 @@ class CkksEncoder:
         if ctx.params.scheme != Scheme.CKKS:
             raise ValueError("CkksEncoder requires CKKS params")
         self.ctx = ctx
+        self._enc_jit: dict[int, object] = {}
         # host-encode counter: lets tests assert that hot loops hit the
         # session plaintext cache instead of re-encoding (VERDICT r1 §weak-2)
         self.encode_count = 0
@@ -108,14 +112,36 @@ class CkksEncoder:
         else:
             ints = np.rint(m).astype(np.int64)
         res = ctx.to_rns(ints, level)                      # [ℓ+1, N] standard
-        data = np.asarray(ntt_fwd(jnp.asarray(res), ctx.tables(level)))
-        shoup = shoup_precompute(data, ctx.tables(level).q)
-        return Plaintext(data=jnp.asarray(data), shoup=jnp.asarray(shoup),
+        # ONE device dispatch: NTT + on-device Shoup companions — no
+        # device→host→device roundtrip (3+ s per encode at N=2^15 over a
+        # remote transport otherwise)
+        fn = self._enc_jit.get(level)
+        if fn is None:
+            tabs = ctx.tables(level)
+            mc = ctx.mont(level)
+            r_sh = shoup_precompute(mc["r_mod_q"], mc["q"])
+
+            def kern(r):
+                data = ntt_fwd(r, tabs)
+                sh = modular.shoup_precompute_dev(
+                    data, tabs.q, mc["r_mod_q"], r_sh, mc["mu"], mc["qinv"])
+                return data, sh
+
+            fn = self._enc_jit[level] = jax.jit(kern)
+        data, shoup = fn(jnp.asarray(res))
+        return Plaintext(data=data, shoup=shoup,
                          level=level, scale=float(scale))
 
     def decode(self, coeff_residues: np.ndarray, level: int,
                scale: float) -> np.ndarray:
-        """[ℓ+1, N] standard-form coefficient residues → complex slots."""
-        centered = self.ctx.crt_lift(np.asarray(coeff_residues), level)
+        """[ℓ+1, N] standard-form coefficient residues → complex slots.
+
+        Uses the small-value CRT lift: a decrypted coefficient is
+        ≈ scale·|m| + noise ≪ Q (the decryptability contract), so only
+        the first few limbs carry information — with a consistency check
+        that falls back to the full lift if the bound is violated."""
+        bound = int(np.log2(scale)) + 34        # |m|≤2^16, noise ≤ 2^18
+        centered = self.ctx.crt_lift_small(np.asarray(coeff_residues),
+                                           level, bound)
         m = centered.astype(np.float64) / scale
         return self.values_from_coeffs(m)
