@@ -326,6 +326,48 @@ class Context:
             acc = (acc + residues[i].astype(object) * coef) % Q
         return np.where(acc > Q // 2, acc - Q, acc)
 
+    def _lift_k(self, residues: np.ndarray, primes, k: int):
+        """Centered CRT lift over the first k limbs (object ints).
+        Returns (out, Qk)."""
+        Qk = 1
+        for q in primes[:k]:
+            Qk *= q
+        acc = np.zeros(residues.shape[-1], dtype=object)
+        for i in range(k):
+            q = primes[i]
+            qhat = Qk // q
+            coef = qhat * nt.modinv(qhat % q, q) % Qk
+            acc = (acc + residues[i].astype(object) * coef) % Qk
+        return np.where(acc > Qk // 2, acc - Qk, acc), Qk
+
+    def _lift_consistent(self, out: np.ndarray, residues: np.ndarray,
+                         primes, k: int, spares: int) -> bool:
+        """True iff the k-limb lift reproduces the next `spares` limbs'
+        residues (per-spare false-accept ~2^-31; two spares ⇒ ≥2^60
+        guard band — ADVICE r4)."""
+        for spare in range(k, min(k + spares, len(primes))):
+            qc = int(primes[spare])
+            if not np.array_equal((out % qc).astype(np.int64),
+                                  residues[spare].astype(np.int64)):
+                return False
+        return True
+
+    def crt_lift_auto(self, residues: np.ndarray, level: int) -> np.ndarray:
+        """Centered lift of values of UNKNOWN (typically small) magnitude:
+        escalates the limb count geometrically, validating each attempt
+        against two spare limbs, falling back to the exact full lift.
+        Cost ≤ ~2× the optimal bounded lift; used by the BFV noise-budget
+        probe where the noise is usually ≪ Q (reference
+        ``matrix_operations.cpp:195-199`` prints budgets around every op)."""
+        primes = self.params.moduli[: level + 1]
+        k = 2
+        while k + 2 <= len(primes):
+            out, _ = self._lift_k(residues, primes, k)
+            if self._lift_consistent(out, residues, primes, k, 2):
+                return out
+            k *= 2
+        return self.crt_lift(residues, level)
+
     def crt_lift_small(self, residues: np.ndarray, level: int,
                        bound_bits: int) -> np.ndarray:
         """Centered lift of values KNOWN to be < 2^bound_bits in magnitude
@@ -350,11 +392,17 @@ class Context:
             coef = qhat * nt.modinv(qhat % q, q) % Qk
             acc = (acc + residues[i].astype(object) * coef) % Qk
         out = np.where(acc > Qk // 2, acc - Qk, acc)
-        # consistency: the lifted value must reproduce limb k's residues
-        qc = int(primes[k])
-        if not np.array_equal((out % qc).astype(np.int64),
-                              residues[k].astype(np.int64)):
-            return self.crt_lift(residues, level)      # bound was wrong
+        # consistency: the lifted value must reproduce the residues of the
+        # NEXT TWO spare limbs (when available) — one limb alone leaves a
+        # ~2^-31 per-coefficient false-accept window (a value differing by
+        # a multiple of Qk·q_k passes); two limbs push the window past
+        # 2^-62, i.e. a ≥2^60 guard band (ADVICE r4).  On any mismatch the
+        # bound was wrong: fall back to the exact full lift.
+        for spare in range(k, min(k + 2, len(primes))):
+            qc = int(primes[spare])
+            if not np.array_equal((out % qc).astype(np.int64),
+                                  residues[spare].astype(np.int64)):
+                return self.crt_lift(residues, level)  # bound was wrong
         return out
 
     def to_rns(self, coeffs: np.ndarray, level: int) -> np.ndarray:

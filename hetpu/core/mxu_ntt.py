@@ -534,7 +534,14 @@ def _row_block(rows: int) -> int:
     # microbench by ~16% (double-buffered x/out DMAs) but loses
     # ~1% inside the fused mult+relin+rescale program, where
     # adjacent pallas calls already overlap — keep 8 first
-    order = (int(pref),) if pref else (8, 4, 2, 1)
+    order = (8, 4, 2, 1)
+    if pref:
+        try:
+            rb = int(pref)
+            if rb > 0:
+                order = (rb,)
+        except ValueError:
+            pass               # bad env value: fall back to the default
     for rb in order:
         if rows % rb == 0:
             return rb

@@ -262,6 +262,9 @@ def _tp_consts(ctx, level: int, tp: int, mesh: Mesh, axis: str):
     return consts
 
 
+_TP_KEY_CACHE_MAX = 32
+
+
 def _tp_key_slices(ctx, ksk, level: int, tp: int, mesh: Mesh, axis: str):
     """Per-device key slices [tp, J, 2, Lloc+α, N], resident on the mesh.
     Cached by key-object identity (the cache holds a strong ref, so ids
@@ -270,7 +273,13 @@ def _tp_key_slices(ctx, ksk, level: int, tp: int, mesh: Mesh, axis: str):
     key = (id(ksk), level, tp, mesh, axis)
     hit = cache.get(key)
     if hit is not None and hit[0] is ksk:
+        cache[key] = cache.pop(key)        # LRU touch (dict is ordered)
         return hit[1], hit[2]
+    # bound the cache: rotating through a large galois keyset would
+    # otherwise pin every key's device slices in HBM forever (ADVICE r4).
+    # 32 entries ≈ a full power-of-two rotation keyset at one level.
+    while len(cache) >= _TP_KEY_CACHE_MAX:
+        cache.pop(next(iter(cache)))       # evict least-recently-used
     plan = build_tp_plan(ctx, level, tp)
     L, Lloc, J = plan.L, plan.Lloc, plan.J
     kd = np.asarray(ksk.data)

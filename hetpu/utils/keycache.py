@@ -62,13 +62,17 @@ def cached_session(params: HeParams | str, *, seed: bytes,
     CACHE_DIR.mkdir(parents=True, exist_ok=True, mode=0o700)
     os.chmod(CACHE_DIR, 0o700)        # pre-existing dir: tighten it too
     kg_sk = sess.decryptor.sk
-    np.savez(
-        path,
-        sk=np.asarray(kg_sk.data),
-        pk=np.frombuffer(serial.dump_public_key(
-            sess.encryptor.pk), dtype=np.uint8),
-        rk=np.frombuffer(serial.dump_relin_keys(sess.rk), dtype=np.uint8),
-        gk=np.frombuffer(serial.dump_galois_keys(sess.gk), dtype=np.uint8),
-    )
-    os.chmod(path, 0o600)
+    # open with 0o600 BEFORE any bytes are written — np.savez(path) under
+    # the default umask would leave a window where the plaintext sk is
+    # world-readable (ADVICE r4)
+    fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o600)
+    with os.fdopen(fd, "wb") as fh:
+        np.savez(
+            fh,
+            sk=np.asarray(kg_sk.data),
+            pk=np.frombuffer(serial.dump_public_key(
+                sess.encryptor.pk), dtype=np.uint8),
+            rk=np.frombuffer(serial.dump_relin_keys(sess.rk), dtype=np.uint8),
+            gk=np.frombuffer(serial.dump_galois_keys(sess.gk), dtype=np.uint8),
+        )
     return sess

@@ -184,7 +184,7 @@ def test_tp_apply_galois_bit_exact(rng):
     assert len(sess.ctx._tp_keys) == n_keys
 
 
-def test_matmul_routes_through_mesh(sess, rng):
+def test_matmul_routes_through_mesh(sess, rng, monkeypatch):
     """BatchedMatrix diag-matvec routes through bucketed_matvec when the
     session has an active mesh (sess.use_mesh), matching the local path."""
     from hetpu.linalg import BatchedMatrix
@@ -195,11 +195,22 @@ def test_matmul_routes_through_mesh(sess, rng):
     mv = BatchedMatrix.encrypt(sess, v, layout="col")
     local = ma.matmul(mv).decrypt().real
     mesh = parallel.make_mesh((4,), ("rot",))
+    calls = []
+    orig = parallel.bucketed_matvec
+
+    def spy(*a, **kw):
+        calls.append(1)
+        return orig(*a, **kw)
+
     try:
         sess.use_mesh(mesh, "rot")
+        monkeypatch.setattr(parallel, "bucketed_matvec", spy)
         routed = ma.matmul(mv)
     finally:
         sess.use_mesh(None)
+    # the mesh path must actually have been taken — otherwise the
+    # comparison below is the local path against itself (ADVICE r4)
+    assert calls, "matmul did not route through bucketed_matvec"
     got = routed.decrypt().real
     np.testing.assert_allclose(got, A @ v, atol=1e-2)
     # the bucketed kernel accumulates in a different order than the local
