@@ -114,6 +114,14 @@ class KeySwitchPlan:
     foreign_cat_tables: object
     dhat: np.ndarray             # [ℓ+1,R]  (D_j/q_i) mod r
     dhat_shoup: np.ndarray
+    # fused lift+NTT view of dhat (mxu_ntt.ntt_fwd_lifted): row f of the
+    # concatenated-foreign basis takes Σ_{i<α} y[dig_f·α + i]·lift_w[f,i]
+    # (zero-padded for short digits) — the digit lift computed inside the
+    # forward-NTT kernel's prologue, skipping the HBM round-trip of the
+    # lifted planes
+    lift_w: np.ndarray           # [F, α] u32
+    lift_ws: np.ndarray          # [F, α]
+    lift_dig: np.ndarray         # [F] int32 digit index per foreign row
     moddown: ModDownPlan
 
 
@@ -246,6 +254,25 @@ class Context:
         foreign_idx = tuple(
             np.concatenate([np.arange(lo), np.arange(hi, R)])
             for (lo, hi) in bounds)
+        # fused-lift weights over the concatenated foreign basis
+        F = sum(len(f) for f in foreign_idx)
+        lift_w = np.zeros((F, alpha), dtype=np.uint32)
+        lift_dig = np.zeros(F, dtype=np.int32)
+        row = 0
+        for d, (lo, hi) in enumerate(bounds):
+            for f in foreign_idx[d]:
+                lift_dig[row] = d
+                for i in range(hi - lo):
+                    lift_w[row, i] = dhat[lo + i, f]
+                row += 1
+        lift_ws = np.zeros_like(lift_w)
+        row = 0
+        for d in range(J):
+            for f in foreign_idx[d]:
+                r = basis_primes[int(f)]
+                lift_ws[row] = ((lift_w[row].astype(np.uint64) << np.uint64(32))
+                                // np.uint64(r)).astype(np.uint32)
+                row += 1
         return KeySwitchPlan(
             level=level,
             alpha=alpha,
@@ -265,6 +292,9 @@ class Context:
             rinv_shoup=shoup_precompute(rinv, _col(active)),
             dhat=dhat,
             dhat_shoup=dhat_shoup,
+            lift_w=lift_w,
+            lift_ws=lift_ws,
+            lift_dig=lift_dig,
             moddown=moddown,
         )
 

@@ -188,30 +188,44 @@ class Evaluator:
         #    from the still-NTT-domain input with a single Shoup multiply —
         #    no INTT→NTT roundtrip (J·α fewer key-basis NTT planes).
         y = ntt_inv(d, tabs, strip_mont=True, extra=plan.dig_inv)
-        use_mxu = mxu_fbc.enabled()
-        accs = []
-        for di, (lo, hi) in enumerate(plan.digit_bounds):
-            if use_mxu:
-                # centered digit lift Σ v̂_i·d̂_i as ONE s8 digit matmul on
-                # the MXU (mxu_fbc) — replaces α·foreign VPU Shoup passes;
-                # the centered representative differs by a multiple of D,
-                # standard mod-up noise
-                accs.append(mxu_fbc.lift_plan(plan, di).apply(
-                    y[..., lo:hi, :]))
-            else:
-                foreign = plan.foreign_idx[di]
-                qf = plan.q[foreign]
-                acc = None
-                for i in range(lo, hi):
-                    term = shoup_mul(y[..., i: i + 1, :],
-                                     plan.dhat[i][foreign][:, None],
-                                     plan.dhat_shoup[i][foreign][:, None], qf)
-                    acc = term if acc is None else mod_add(acc, term, qf)
-                accs.append(acc)
-        # ONE forward NTT over every digit's lifted planes (concatenated
-        # foreign bases — duplicate primes fine), then stitch per digit
-        lifted_cat = ntt_fwd(jnp.concatenate(accs, axis=-2),
-                             plan.foreign_cat_tables)
+        from . import mxu_ntt
+        if (mxu_ntt.enabled() and not mxu_fbc.enabled()
+                and hasattr(plan.foreign_cat_tables, "sub1")):
+            # FUSED lift+NTT: the digit lift runs in the forward-NTT
+            # kernel's prologue (mxu_ntt.ntt_fwd_lifted) — the op is
+            # HBM-bandwidth-bound, and this skips the full write+read of
+            # the lifted planes between the two passes.  Bit-exact to the
+            # explicit loop below (same accumulation order, zero-padded
+            # tail terms).
+            lifted_cat = mxu_ntt.ntt_fwd_lifted(
+                y, plan.lift_w, plan.lift_ws, plan.lift_dig,
+                plan.foreign_cat_tables)
+        else:
+            use_mxu = mxu_fbc.enabled()
+            accs = []
+            for di, (lo, hi) in enumerate(plan.digit_bounds):
+                if use_mxu:
+                    # centered digit lift Σ v̂_i·d̂_i as ONE s8 digit
+                    # matmul on the MXU (mxu_fbc) — the centered
+                    # representative differs by a multiple of D,
+                    # standard mod-up noise
+                    accs.append(mxu_fbc.lift_plan(plan, di).apply(
+                        y[..., lo:hi, :]))
+                else:
+                    foreign = plan.foreign_idx[di]
+                    qf = plan.q[foreign]
+                    acc = None
+                    for i in range(lo, hi):
+                        term = shoup_mul(y[..., i: i + 1, :],
+                                         plan.dhat[i][foreign][:, None],
+                                         plan.dhat_shoup[i][foreign][:, None],
+                                         qf)
+                        acc = term if acc is None else mod_add(acc, term, qf)
+                    accs.append(acc)
+            # ONE forward NTT over every digit's lifted planes
+            # (concatenated foreign bases — duplicate primes fine)
+            lifted_cat = ntt_fwd(jnp.concatenate(accs, axis=-2),
+                                 plan.foreign_cat_tables)
         exts = []
         off = 0
         for di, (lo, hi) in enumerate(plan.digit_bounds):
@@ -420,12 +434,7 @@ class Evaluator:
                               axis=-2)
         u = ntt_inv(src, plan.src_tables, strip_mont=True,
                     extra=plan.fbc.inv_punit)
-        if mxu_fbc.enabled():
-            r_q = mxu_fbc.fbc_plan(plan.fbc).apply(u)
-        else:
-            from . import rns
-            r_q = rns.fbc_apply(u, plan.fbc, correct=True, premul=False)
-        r_m = ntt_fwd_mont(r_q, plan.dst_tables)
+        r_m = _fbc_fwd_mont(u, plan.fbc, plan.dst_tables)
         q_dst = plan.dst_tables.q
         out = shoup_mul(mod_sub(w_data[..., : L - g, :], r_m, q_dst),
                         plan.pq_inv, plan.pq_inv_shoup, q_dst)
@@ -453,14 +462,23 @@ def _mod_down(acc: jax.Array, md, k: int) -> jax.Array:
     sp = acc[..., -k:, :]
     rest = acc[..., :-k, :]
     u = ntt_inv(sp, md.src_tables, strip_mont=True, extra=md.fbc.inv_punit)
-    if mxu_fbc.enabled():
-        r_q = mxu_fbc.fbc_plan(md.fbc).apply(u)
-    else:
-        from . import rns
-        r_q = rns.fbc_apply(u, md.fbc, correct=True, premul=False)
-    r_m = ntt_fwd_mont(r_q, md.dst_tables)
+    r_m = _fbc_fwd_mont(u, md.fbc, md.dst_tables)
     return shoup_mul(mod_sub(rest, r_m, md.dst_tables.q),
                      md.p_inv, md.p_inv_shoup, md.dst_tables.q)
+
+
+def _fbc_fwd_mont(u, fbc, dst_tables):
+    """Centered FBC + Montgomery forward NTT, fused on the MXU path
+    (mxu_ntt.ntt_fwd_fbc skips the HBM round-trip of the converted
+    planes — the op is bandwidth-bound)."""
+    from . import mxu_ntt
+    if mxu_fbc.enabled():
+        return ntt_fwd_mont(mxu_fbc.fbc_plan(fbc).apply(u), dst_tables)
+    if mxu_ntt.enabled() and hasattr(dst_tables, "sub1"):
+        return mxu_ntt.ntt_fwd_fbc(u, fbc, dst_tables, to_mont=True)
+    from . import rns
+    r_q = rns.fbc_apply(u, fbc, correct=True, premul=False)
+    return ntt_fwd_mont(r_q, dst_tables)
 
 
 def _div_round_last(data: jax.Array, plan: RescalePlan) -> jax.Array:

@@ -41,6 +41,57 @@ def bench_he_all(sess: Session, reps: int = 5) -> dict:
     return out
 
 
+def bench_he_all_chained(sess: Session, K: int = 64, reps: int = 2) -> dict:
+    """Scan-chained per-op DEVICE latencies: each case runs K times inside
+    one jitted ``lax.scan`` with a data-dependent tag chain (bench.py's
+    honest-timing shape), so per-dispatch transport overhead is amortized
+    away and the level-scaling curve is device-true (VERDICT r4 #4;
+    reference sweep ``math_operations.cpp:614-619``)."""
+    import jax
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, sess.slots)
+    y = rng.uniform(-1, 1, sess.slots)
+    ct1, ct2 = sess.encrypt(x), sess.encrypt(y)
+    pt = sess.encode(y)
+    ev = sess.ev
+    m3 = ev.multiply(ct1, ct2)
+    pm = ev.multiply_plain(ct1, pt)
+
+    cases = {
+        "pt_ct_add": (lambda d: ev.add_plain(ct1.with_(data=d), pt).data,
+                      ct1.data),
+        "ct_ct_add": (lambda d: ev.add(ct1.with_(data=d), ct2).data,
+                      ct1.data),
+        "pt_ct_mult": (lambda d: ev.multiply_plain(ct1.with_(data=d),
+                                                   pt).data, ct1.data),
+        "ct_ct_mult": (lambda d: ev.multiply(ct1.with_(data=d), ct2).data,
+                       ct1.data),
+        "relin": (lambda d: ev.relinearize(m3.with_(data=d), sess.rk).data,
+                  m3.data),
+        "rescale": (lambda d: ev.rescale(pm.with_(data=d)).data, pm.data),
+    }
+    out = {}
+    for name, (fn, x0) in cases.items():
+        @jax.jit
+        def run(x0, tag0, fn=fn):
+            def body(tag, _):
+                yv = fn(jnp.bitwise_xor(x0, tag))
+                tag = jnp.sum(yv.reshape(-1)[:8],
+                              dtype=jnp.uint32) & jnp.uint32(1)
+                return tag, ()
+            tag, _ = jax.lax.scan(body, tag0, None, length=K)
+            return tag
+        tag = run(x0, jnp.uint32(0))
+        _ = int(tag)                                     # compile + warm
+        t = Timer()
+        for _ in range(reps):
+            tag = run(x0, tag)
+        _ = int(tag)
+        out[name] = t.tocr() / (K * reps)
+    return out
+
+
 def demo_bench_all(small=False):
     n = 1 << (13 if small else 15)
     max_levels = 6 if small else 26

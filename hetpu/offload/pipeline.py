@@ -85,6 +85,77 @@ def evaluate_sharded(sess: Session, cts, n_devices: int | None = None):
     return [out.with_(data=host[i]) for i in range(half)]
 
 
+def _infer_weights(slots: int, n_diags: int, wseed: int):
+    """Deterministic 'model weights' both ends can derive from the wire
+    header: n_diags circulant diagonals + a degree-2 activation poly.
+    (Inference setting: the EVALUATOR owns the weights; only the seed
+    crosses the wire.)"""
+    rng = np.random.default_rng(wseed)
+    diags = rng.uniform(-1, 1, (n_diags, slots)) / n_diags
+    act = (0.5, 0.25, -0.02)          # c0 + c1·u + c2·u² (sigmoid-ish)
+    return diags, act
+
+
+def infer_step(sess: Session, ct, diags, act):
+    """ONE inference layer on an encrypted activation vector: diagonal-
+    method matvec against plaintext weights (rotation hot loop with ONE
+    hoisted decomposition) + degree-2 activation polynomial with exact
+    solved-scale alignment — the BASELINE config-5 workload (replaces the
+    r4 toy mult+rot+add step).  Consumes 3 levels (g=1)."""
+    from ..math import mult_const_to
+    ev = sess.ev
+    n_diags = len(diags)
+    rots = [ct] + ev.rotate_hoisted(ct, list(range(1, n_diags)), sess.gk)
+    q = sess.ctx.mont(ct.level)["q"]
+    acc = None
+    for d, src in enumerate(rots):
+        pt = sess.cached_encode(("infer_diag", d, n_diags), diags[d],
+                                level=src.level)
+        term = ev.multiply_plain(src, pt)
+        acc = term.data if acc is None else mod_add(acc, term.data, q)
+    u = ev.rescale(term.with_(data=acc))               # W·x
+    c0, c1, c2 = act
+    u2 = ev.square_relin_rescale(u, sess.rk)           # u²
+    s = u.scale
+    quad = mult_const_to(sess, u2, c2, s)
+    lin = mult_const_to(sess, sess.reach_level(u, u2.level), c1, s)
+    y = ev.add(quad, lin)
+    return ev.add_plain(y, sess.const_like(y, c0))
+
+
+def infer_reference(x: np.ndarray, diags: np.ndarray, act) -> np.ndarray:
+    """Plaintext replica of infer_step for verification."""
+    u = sum(diags[d] * np.roll(x, -d) for d in range(len(diags)))
+    c0, c1, c2 = act
+    return c0 + c1 * u + c2 * u * u
+
+
+def evaluate_sharded_infer(sess: Session, cts, wseed: int, n_diags: int = 8,
+                           n_devices: int | None = None):
+    """Pod-side inference: shard the request batch over the dp mesh and
+    run infer_step as ONE jitted sharded program (BASELINE config 5:
+    'batched enc matvec + activation polynomial eval sharded across
+    hosts')."""
+    devs = np.array(jax.devices())
+    nd = int(n_devices or devs.size)
+    mesh = Mesh(devs[:nd], axis_names=("dp",))
+    if len(cts) % nd != 0:
+        raise ValueError(f"batch {len(cts)} does not divide dp mesh {nd}")
+    diags, act = _infer_weights(sess.slots, n_diags, wseed)
+    x = jnp.stack([c.data for c in cts])
+    proto = cts[0]
+    sh = NamedSharding(mesh, P("dp"))
+    x = jax.device_put(x, sh)
+
+    def step(dx):
+        return infer_step(sess, proto.with_(data=dx), diags, act)
+
+    with mesh:
+        out = jax.jit(step, in_shardings=(sh,))(x)
+    host = np.asarray(out.data)
+    return [out.with_(data=host[i]) for i in range(len(cts))]
+
+
 def serve_pipeline(transport=None, n_devices: int | None = None) -> int:
     """Evaluator process: answer ONE pipeline request.  Returns the batch
     size served."""
@@ -94,9 +165,14 @@ def serve_pipeline(transport=None, n_devices: int | None = None) -> int:
         t, _ = native.serve()
     try:
         header, sess, cts = recv_request(t)
-        if header["workload"] != "pipeline":
-            raise ValueError(f"expected pipeline, got {header['workload']!r}")
-        results = evaluate_sharded(sess, cts, n_devices)
+        if header["workload"] == "pipeline":
+            results = evaluate_sharded(sess, cts, n_devices)
+        elif header["workload"] == "pipeline_infer":
+            results = evaluate_sharded_infer(
+                sess, cts, wseed=int(header["wseed"]),
+                n_diags=int(header.get("n_diags", 8)), n_devices=n_devices)
+        else:
+            raise ValueError(f"expected pipeline*, got {header['workload']!r}")
         send_reply(t, results)
         return len(results)
     finally:
@@ -124,4 +200,35 @@ def run_client(t, batch: int = 8, params="test_tiny", seed=None):
         got = sess.decrypt(ct).real
         w = vals[i] * vals[batch + i]
         errs.append(np.max(np.abs(got - (w + np.roll(w, -1)))))
+    return float(np.max(errs)), res
+
+
+def run_client_infer(t, batch: int = 8, params="test_deep", seed=None,
+                     n_diags: int = 8, wseed: int = 7):
+    """Client for the config-5 inference pipeline: encrypt a batch of
+    activation vectors, offload matvec+activation to the pod evaluator,
+    decrypt, verify against the plaintext replica.  Galois keys cover the
+    evaluator's diagonal rotations 1..n_diags−1 (the key material the
+    reference client ships for the server's rotation loop,
+    ``client.cpp``/``server.cpp``)."""
+    sess = Session.create(params, seed=seed,
+                          galois_steps=list(range(1, n_diags)))
+    rng = np.random.default_rng(1)
+    vals = [rng.uniform(-1, 1, sess.slots) for _ in range(batch)]
+    pairs = []
+    for v in vals:
+        s = rnd.new_seed()
+        pairs.append((sess.encryptor.encrypt_symmetric(sess.encode(v),
+                                                       seed=s), s))
+    send_request(t, "pipeline_infer", sess.ctx.params, rk=sess.rk,
+                 gk=sess.gk, cts=[c for c, _ in pairs],
+                 seeds=[s for _, s in pairs],
+                 meta={"wseed": wseed, "n_diags": n_diags})
+    res = recv_reply(t, sess.ctx)
+    diags, act = _infer_weights(sess.slots, n_diags, wseed)
+    errs = []
+    for i, ct in enumerate(res):
+        got = sess.decrypt(ct).real
+        errs.append(np.max(np.abs(got - infer_reference(vals[i], diags,
+                                                        act))))
     return float(np.max(errs)), res

@@ -263,12 +263,119 @@ def sec_secondary():
     return out
 
 
+def sec_baseline():
+    """BASELINE.json configs 3-5 (VERDICT r4 missing #2).
+
+    config 3: 128x128 encrypted mat-mat multiply, N=2^14, deep chain L=8
+              (reference scale-up of he_linalg.cpp:943-1006) — computed
+              in col-chunks of 8 (a 128-wide hoisted rotation set over
+              all 128 columns at once would need ~19 GB of rotated
+              operands; blocking is the standard fix), each chunk ONE
+              jitted program.
+    config 4: homomorphic in-slot FFT of a length-1024 signal, batched
+              over 64 ciphertexts (he_fft.cpp:166-223 at 8x the
+              reference's 128-pt size).
+    config 5: inference pipeline step (enc matvec + activation poly) —
+              timed here on the local device mesh; the 8-device sharded
+              + wire-protocol run is tests/test_offload.py::
+              test_pipeline_infer_mesh_evaluator and scaling_bench.
+    """
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from hetpu.utils.keycache import cached_session
+    out = {}
+
+    # ---- config 3 ----------------------------------------------------
+    from hetpu.linalg.batched import BatchedMatrix
+    d, chunk = 128, 8
+    sess = cached_session("bench_n14", seed=b"\x31" * 32,
+                          galois_steps=list(range(1, d)))
+    rng = np.random.default_rng(3)
+    A = rng.uniform(-1, 1, (d, d))
+    Bm = rng.uniform(-1, 1, (d, d))
+    ma = BatchedMatrix.encrypt(sess, A, layout="diag")
+    mb = BatchedMatrix.encrypt(sess, Bm, layout="col")
+
+    def chunk_fn(bdata):
+        mbc = BatchedMatrix(sess, mb.ct.with_(data=bdata), rows=d,
+                            cols=chunk, layout="col")
+        return ma.matmul(mbc).ct.data
+    jfn = jax.jit(chunk_fn)
+    t0 = time.perf_counter()
+    jax.block_until_ready(jfn(mb.ct.data[:chunk]))       # compile+run
+    t_compile = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    cols = [np.asarray(jfn(mb.ct.data[j: j + chunk]))
+            for j in range(0, d, chunk)]
+    dt = time.perf_counter() - t0
+    got_ct = np.concatenate(cols, axis=0)
+    # level/scale metadata for the chunk outputs from one real col matmul
+    ref_ct = ma.matmul(BatchedMatrix(sess, mb.ct.with_(
+        data=mb.ct.data[:1]), rows=d, cols=1, layout="col")).ct
+    mc = BatchedMatrix(sess, ref_ct.with_(data=jnp.asarray(got_ct)),
+                       rows=d, cols=d, layout="col")
+    err = float(np.abs(mc.decrypt().real - A @ Bm).max())
+    out["matmul128_n14_L8"] = {
+        "matmul_s": round(dt, 3), "compile_s": round(t_compile, 1),
+        "chunk": chunk, "max_err": err}
+    print(f"  matmul128: {out['matmul128_n14_L8']}", flush=True)
+
+    # ---- config 4 ----------------------------------------------------
+    from hetpu import fft as hefft
+    n, nct = 1024, 64
+    steps = sorted({s for h in [n >> (i + 1)
+                                for i in range(n.bit_length() - 1)]
+                    for s in (h, -h)})
+    fs = cached_session("ckks_fft", seed=b"\x32" * 32, galois_steps=steps)
+    sig = rng.uniform(-1, 1, (nct, n)) + 1j * rng.uniform(-1, 1, (nct, n))
+    tile = fs.slots // n
+    cts = [fs.encrypt(np.tile(sig[i], tile)) for i in range(nct)]
+    ct = cts[0].with_(data=jnp.stack([c.data for c in cts]))
+    t0 = time.perf_counter()
+    fout = hefft.bfft(fs, ct, n)
+    jax.block_until_ready(fout.data)
+    dt = time.perf_counter() - t0
+    errs = []
+    for i in (0, nct // 2, nct - 1):
+        got = fs.decrypt(fout.with_(data=fout.data[i]))[:n]
+        want = hefft.bit_reverse_order(np.fft.fft(sig[i]))
+        errs.append(np.abs(got - want).max())
+    out["bfft1024_x64_n14"] = {
+        "bfft_s": round(dt, 3), "n": n, "batch_cts": nct,
+        "max_err": float(np.max(errs))}
+    print(f"  bfft1024x64: {out['bfft1024_x64_n14']}", flush=True)
+
+    # ---- config 5 ----------------------------------------------------
+    from hetpu.offload import pipeline
+    from hetpu.session import Session
+    ps = Session.create("ckks_hi14", seed=b"\x33" * 32,
+                        galois_steps=list(range(1, 8)))
+    vals = [rng.uniform(-1, 1, ps.slots) for _ in range(8)]
+    cts5 = [ps.encrypt(v) for v in vals]
+    nd = len(jax.devices())
+    t0 = time.perf_counter()
+    res = pipeline.evaluate_sharded_infer(ps, cts5, wseed=7, n_diags=8,
+                                          n_devices=nd)
+    dt = time.perf_counter() - t0
+    diags, act = pipeline._infer_weights(ps.slots, 8, 7)
+    errs = [np.abs(ps.decrypt(r).real
+                   - pipeline.infer_reference(v, diags, act)).max()
+            for r, v in zip(res, vals)]
+    out["pipeline_infer_n14"] = {
+        "batch": 8, "n_diags": 8, "mesh_devices": nd,
+        "wall_s": round(dt, 3), "max_err": float(np.max(errs))}
+    print(f"  pipeline_infer: {out['pipeline_infer_n14']}", flush=True)
+    return out
+
+
 SECTIONS = {
     "keygen": sec_keygen,
     "workloads": sec_workloads,
     "fft": sec_fft,
     "sweep": sec_sweep,
     "secondary": sec_secondary,
+    "baseline": sec_baseline,
 }
 
 

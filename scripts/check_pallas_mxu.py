@@ -1,6 +1,8 @@
 """Device check: Pallas MXU-NTT path vs the jnp reference path, all
 epilogue variants, on the real TPU."""
 
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 import jax.numpy as jnp
 
@@ -17,7 +19,7 @@ x = rng.integers(0, min(primes), (5, 3, N), dtype=np.uint32)
 xj = jnp.asarray(x)
 
 for fwd in (True, False):
-    for name in ("plain", "to_mont", "strip"):
+    for name in ("plain_fwd", "to_mont", "strip"):
         consts = getattr(mt, name)
         mxu_ntt._FORCE_IMPL = "pallas"
         a = np.asarray(mxu_ntt._run_pallas(xj, mt, forward=fwd,

@@ -83,3 +83,43 @@ def test_worst_case_residues(t4096):
         x = jnp.asarray(np.broadcast_to(val, (L, t4096.n)).copy())
         assert (np.asarray(mxu_ntt.ntt_fwd(x, t4096)) ==
                 np.asarray(ntt4.ntt_fwd(x, t4096))).all()
+
+
+def test_fwd_lifted_matches_explicit_decompose(rng):
+    """Fused lift+NTT (ntt_fwd_lifted) is bit-exact against the explicit
+    shoup-loop lift followed by ntt_fwd — the key-switch decompose
+    equivalence the evaluator's fused branch relies on."""
+    from hetpu.core.context import Context
+    from hetpu.core.modular import mod_add, shoup_mul
+    from hetpu.core.ntt import ntt_fwd
+
+    from hetpu.core.params import ckks_params
+    # N >= 4096 so the key basis gets four-step (MXU-shaped) tables
+    ctx = Context(ckks_params(1 << 12, levels=5, scale_bits=30,
+                              num_special=2, first_prime_bits=31,
+                              special_prime_bits=31, sec_level=0))
+    lvl = ctx.num_data - 1
+    plan = ctx.keyswitch_plan(lvl)
+    n = ctx.params.poly_degree
+    q_act = np.array(ctx.params.moduli[: lvl + 1],
+                     dtype=np.uint32).reshape(-1, 1)
+    y = jnp.asarray(rng.integers(0, 2**31, (2, lvl + 1, n),
+                                 dtype=np.uint32) % q_act)
+
+    # explicit loop (the evaluator's fallback branch)
+    accs = []
+    for di, (lo, hi) in enumerate(plan.digit_bounds):
+        foreign = plan.foreign_idx[di]
+        qf = plan.q[foreign]
+        acc = None
+        for i in range(lo, hi):
+            term = shoup_mul(y[..., i: i + 1, :],
+                             plan.dhat[i][foreign][:, None],
+                             plan.dhat_shoup[i][foreign][:, None], qf)
+            acc = term if acc is None else mod_add(acc, term, qf)
+        accs.append(acc)
+    want = ntt_fwd(jnp.concatenate(accs, axis=-2), plan.foreign_cat_tables)
+
+    got = mxu_ntt.ntt_fwd_lifted(y, plan.lift_w, plan.lift_ws,
+                                 plan.lift_dig, plan.foreign_cat_tables)
+    assert (np.asarray(got) == np.asarray(want)).all()

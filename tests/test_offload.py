@@ -141,6 +141,36 @@ def test_pipeline_mesh_evaluator(rng):
     assert max_err < 5e-3, f"pipeline decrypt error {max_err}"
 
 
+def test_pipeline_infer_mesh_evaluator(rng):
+    """BASELINE config 5: batched enc matvec (diagonal method, plaintext
+    weights derived evaluator-side from a wire seed) + degree-2
+    activation polynomial, sharded over the 8-device dp mesh, verified
+    against the plaintext replica after decrypt."""
+    import threading
+    from hetpu.offload import pipeline
+
+    ta, tb = native.pipe_pair()
+    err = []
+    served = []
+
+    def srv():
+        try:
+            served.append(pipeline.serve_pipeline(tb, n_devices=8))
+        except Exception as e:
+            err.append(e)
+
+    th = threading.Thread(target=srv)
+    th.start()
+    try:
+        max_err, res = pipeline.run_client_infer(
+            ta, batch=8, params="test_dnum", seed=SEED, n_diags=4)
+    finally:
+        th.join(timeout=300)
+    assert not err, err
+    assert served == [8]
+    assert max_err < 5e-3, f"pipeline_infer decrypt error {max_err}"
+
+
 def test_offload_matmul_sharded_8dev(client, rng):
     """The server's REAL matmul workload runs dp-sharded over all 8
     virtual devices: 4×2 @ 2×4 → 8-ct operand stacks divide the mesh, so
