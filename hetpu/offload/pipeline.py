@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core import random as rnd, serial
+from ..core.modular import mod_add
 from ..runtime import native
 from ..session import Session
 from . import recv_reply, recv_request, send_reply, send_request

@@ -128,6 +128,7 @@ def test_pipeline_mesh_evaluator(rng):
             served.append(pipeline.serve_pipeline(tb, n_devices=8))
         except Exception as e:
             err.append(e)
+            tb.close()       # unblock the client's recv on server error
 
     th = threading.Thread(target=srv)
     th.start()
@@ -158,6 +159,7 @@ def test_pipeline_infer_mesh_evaluator(rng):
             served.append(pipeline.serve_pipeline(tb, n_devices=8))
         except Exception as e:
             err.append(e)
+            tb.close()       # unblock the client's recv on server error
 
     th = threading.Thread(target=srv)
     th.start()
