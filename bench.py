@@ -31,7 +31,12 @@ def main():
     import jax.numpy as jnp
     from hetpu.utils.keycache import cached_session
 
-    sess = cached_session("bench_n14", seed=b"\x21" * 32, galois_steps=[1])
+    # preset variants (same metric — N=2^14 mult+relin+rescale):
+    #   bench_n14      α=5, 30/31-bit primes (default)
+    #   bench_n14_a4   α=4 — fewer key-switch planes
+    #   bench_n14_fast α=4 + all primes < 2^30 → approx-mulhi kernels
+    preset = os.environ.get("HETPU_BENCH_PRESET", "bench_n14")
+    sess = cached_session(preset, seed=b"\x21" * 32, galois_steps=[1])
     rng = np.random.default_rng(0)
 
     # swept on v5e (round 3): B=8 → 10.7k, B=16 → 10.5k, B=24 → 10.3k,

@@ -348,6 +348,9 @@ class MxuNttTables:
         self.has_dups = len(rep) != L
 
         self._t = t
+        # every prime < 2^30 -> kernels may use the 3-multiply
+        # approximate-mulhi Shoup (_shoup_fast), still exact
+        self.all_small = all(q < (1 << 30) for q in t.primes)
         self.qinv_neg = np.array(
             [(R - pow(q, -1, R)) % R for q in t.primes],
             dtype=np.uint32).reshape(L, 1)
@@ -503,6 +506,28 @@ def _shoup_scalarish(x, w, ws, q):
     return jnp.where(r >= q, r - q, r)
 
 
+def _shoup_fast(x, w, ws, q):
+    """Shoup multiply with a 3-multiply APPROXIMATE mulhi:
+        q_est = x1·w1 + (x1·w0 >> 16) + (x0·w1 >> 16)
+    underestimates the true ⌊x·ws/2^32⌋ by ≤ 2 (three dropped floors),
+    so r = x·w − q_est·q ∈ [0, 4q) — two conditional subtracts finish.
+    EXACT whenever q < 2^30 (4q < 2^32); one 16×16 partial product and
+    its carry chain cheaper than the schoolbook mulhi.  Result is
+    bit-identical to _shoup_scalarish (same value mod q, fully reduced).
+    """
+    from .modular import mullo_u32
+    m16 = jnp.uint32(0xFFFF)
+    x1 = x >> 16
+    x0 = x & m16
+    w1 = ws >> 16
+    w0 = ws & m16
+    q_est = x1 * w1 + ((x1 * w0) >> 16) + ((x0 * w1) >> 16)
+    r = mullo_u32(x, w) - mullo_u32(q_est, q)
+    q2 = q + q
+    r = jnp.where(r >= q2, r - q2, r)
+    return jnp.where(r >= q, r - q, r)
+
+
 def _carry_save(g_list):
     """Exact u32-pair split of S = Σ_j 2^{8j}·(G_j + OFF):  returns
     (s_lo, s_hi) with S = s_hi·2^32 + s_lo.  G_j are int32 digit-plane
@@ -537,18 +562,20 @@ def _fold_mul(s_lo, s_hi, c, cs, cR, cRs, corr, q):
     return jnp.where(s >= corr, s - corr, s + (q - corr))
 
 
-def _fold_mont(s_lo, s_hi, W, Ws, D, q, qn):
+def _fold_mont(s_lo, s_hi, W, Ws, D, q, qn, fast: bool = False):
     """y·mult mod q from a carry-save pair via ONE Montgomery reduction
     plus ONE Shoup multiply (vs two Shoups in _fold_mul):
         u = S·R⁻¹ mod q            (m = s_lo·(−q⁻¹); u = s_hi + hi(m·q) + c)
         out = u·W − D (mod q)      (W = mult·R mod q precomputed)
     D folds the OFF-sum AND the unsigned-digit correction
     (_last_consts / _mid_tables).  u < 2^31 + 2^27 — _shoup_scalarish
-    is exact for any u32 input."""
+    is exact for any u32 input.  ``fast`` swaps the final Shoup for the
+    3-multiply approximate variant (valid iff every q < 2^30); the REDC
+    mulhi must stay exact (its error would not be a multiple of q)."""
     from .modular import mulhi_u32, mullo_u32
     m = mullo_u32(s_lo, qn)
     u = s_hi + mulhi_u32(m, q) + (s_lo != 0).astype(_U32)
-    r = _shoup_scalarish(u, W, Ws, q)
+    r = (_shoup_fast if fast else _shoup_scalarish)(u, W, Ws, q)
     return jnp.where(r >= D, r - D, r + (q - D))
 
 
@@ -615,7 +642,7 @@ def _inv_jnp(x4, mt: MxuNttTables, consts_last):
 # ----------------------------------------------------------------------
 
 def _kernel_body(x, lmat, rmat, mid, last, q, qn,
-                 left_first: bool, n1: int, n2: int):
+                 left_first: bool, n1: int, n2: int, fast: bool = False):
     """One [n1, n2] plane.  left_first=True: fwd (T1 @ x, mid recomb with
     folded twiddle, x @ T2^T, last recomb with folded epilogue).  ``mid``
     = 3 vector tables [n1, n2] (VMEM: W, Ws, D), ``last`` = per-limb
@@ -629,12 +656,12 @@ def _kernel_body(x, lmat, rmat, mid, last, q, qn,
 
     def recomb_rows(g, consts):                # g [4*n1, n2] i32
         s_lo, s_hi = _carry_save([g[j * n1:(j + 1) * n1] for j in range(4)])
-        return _fold_mont(s_lo, s_hi, *consts, q, qn)
+        return _fold_mont(s_lo, s_hi, *consts, q, qn, fast)
 
     def recomb_cols(g, consts):                # g [n1, 4*n2] i32
         s_lo, s_hi = _carry_save(
             [g[:, j * n2:(j + 1) * n2] for j in range(4)])
-        return _fold_mont(s_lo, s_hi, *consts, q, qn)
+        return _fold_mont(s_lo, s_hi, *consts, q, qn, fast)
 
     if left_first:
         g = jax.lax.dot_general(lmat, extract_rows(x), (((1,), (0,)), ((), ())),
@@ -680,7 +707,8 @@ def _row_block(rows: int) -> int:
 # lay out some of them at all.  The sequential per-row loop is the fast
 # shape; don't resurrect the "fused rows" idea without re-measuring.
 @lru_cache(maxsize=None)
-def _pallas_call(n1: int, n2: int, L: int, rows: int, left_first: bool):
+def _pallas_call(n1: int, n2: int, L: int, rows: int, left_first: bool,
+                 fast: bool = False):
     rb = _row_block(rows)
 
     def kernel(idx_ref, x_ref, lm_ref, rm_ref,
@@ -698,7 +726,7 @@ def _pallas_call(n1: int, n2: int, L: int, rows: int, left_first: bool):
         for p in range(rb):
             out_ref[p, 0] = _kernel_body(
                 x_ref[p, 0], lm_ref[0], rm_ref[0], mid, last,
-                q, qn, left_first, n1, n2)
+                q, qn, left_first, n1, n2, fast)
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     # grid is (limb, row-block) — rows INNERMOST, so the per-limb digit
@@ -747,6 +775,11 @@ def _pallas_call(n1: int, n2: int, L: int, rows: int, left_first: bool):
     return call
 
 
+def _fast_ok(mt: MxuNttTables) -> bool:
+    return (mt.all_small
+            and os.environ.get("HETPU_FAST_MULHI", "1") not in ("0",))
+
+
 def _run_pallas(a, mt: MxuNttTables, *, forward: bool, consts_last):
     lead = a.shape[:-2]
     L = a.shape[-2]
@@ -756,7 +789,7 @@ def _run_pallas(a, mt: MxuNttTables, *, forward: bool, consts_last):
         lm, rm, mid = mt.w1, mt.w2t, mt.mid_fwd
     else:
         lm, rm, mid = mt.m1, mt.m2t, mt.mid_inv
-    call = _pallas_call(mt.n1, mt.n2, L, rows, forward)
+    call = _pallas_call(mt.n1, mt.n2, L, rows, forward, _fast_ok(mt))
     out = call(x4, jnp.asarray(mt.prime_idx), lm, rm, mid,
                mt.q_col, mt.qinv_neg, consts_last)
     return out.reshape(*lead, L, mt.n)
@@ -781,7 +814,7 @@ def ntt_fwd(a, t, *, to_mont: bool = False):
 
 @lru_cache(maxsize=None)
 def _pallas_call_lift(n1: int, n2: int, F: int, rows: int, A: int,
-                      corr: bool = False):
+                      corr: bool = False, fast: bool = False):
     """Fused digit-lift + forward-NTT kernel: out row f =
     NTT_f(Σ_{i<A} shoup(y[dig_f·A + i], lw[f,i]) mod q_f).
 
@@ -812,8 +845,8 @@ def _pallas_call_lift(n1: int, n2: int, F: int, rows: int, A: int,
                 # zero-padded lw rows make short digits and the OOB tail
                 # of the last y block exact (x·0 ≡ 0); lw is flat [F*A]
                 # 1-D SMEM (2-D SMEM arrays get lane-padded x128)
-                term = _shoup_scalarish(x_ref[p, i], lw_ref[f * A + i],
-                                        lws_ref[f * A + i], q)
+                term = (_shoup_fast if fast else _shoup_scalarish)(
+                    x_ref[p, i], lw_ref[f * A + i], lws_ref[f * A + i], q)
                 if acc is None:
                     acc = term
                 else:
@@ -831,10 +864,12 @@ def _pallas_call_lift(n1: int, n2: int, F: int, rows: int, A: int,
                     t_ = xf * recip_ref[i]
                     al = t_ if al is None else al + t_
                 alpha = jnp.round(al).astype(_I32).astype(_U32)
-                ac = _shoup_scalarish(alpha, pm_ref[f], pms_ref[f], q)
+                ac = (_shoup_fast if fast else _shoup_scalarish)(
+                    alpha, pm_ref[f], pms_ref[f], q)
                 acc = jnp.where(acc >= ac, acc - ac, acc + (q - ac))
             out_ref[p, 0] = _kernel_body(
-                acc, lm_ref[0], rm_ref[0], mid, last, q, qn, True, n1, n2)
+                acc, lm_ref[0], rm_ref[0], mid, last, q, qn, True, n1, n2,
+                fast)
 
     smem = lambda: pl.BlockSpec(memory_space=pltpu.SMEM)
     by_uniq = lambda shape: pl.BlockSpec(
@@ -895,7 +930,8 @@ def ntt_fwd_lifted(y, lift_w, lift_ws, lift_dig, t, *, to_mont=False):
     if _use_pallas():
         rows = int(np.prod(lead)) if lead else 1
         y4 = y.reshape(rows, Ly, mt.n1, mt.n2)
-        call = _pallas_call_lift(mt.n1, mt.n2, F, rows, A)
+        call = _pallas_call_lift(mt.n1, mt.n2, F, rows, A,
+                                 fast=_fast_ok(mt))
         out = call(y4, jnp.asarray(mt.prime_idx),
                    jnp.asarray(np.asarray(lift_dig, dtype=np.int32)),
                    mt.w1, mt.w2t, mt.mid_fwd, mt.q_col, mt.qinv_neg,
@@ -940,7 +976,8 @@ def ntt_fwd_fbc(u, fbc, t, *, to_mont: bool = True):
     if _use_pallas():
         rows = int(np.prod(lead)) if lead else 1
         y4 = u.reshape(rows, A, mt.n1, mt.n2)
-        call = _pallas_call_lift(mt.n1, mt.n2, F, rows, A, corr=True)
+        call = _pallas_call_lift(mt.n1, mt.n2, F, rows, A, corr=True,
+                                 fast=_fast_ok(mt))
         lw = np.ascontiguousarray(fbc.phat_mod_r.T)          # [F, A]
         lws = np.ascontiguousarray(fbc.phat_shoup.T)
         out = call(y4, jnp.asarray(mt.prime_idx),

@@ -333,6 +333,19 @@ _PRESETS = {
     # (log QP = 426 ≤ 438 at N=2^14).
     "bench_n14": lambda: ckks_params(1 << 14, levels=8, scale_bits=30,
                                     num_special=5),
+    # α=4 variant: uniform digit sizes (4,4) make the foreign basis 16
+    # rows instead of 18 and R=12 instead of 13 (fewer key-switch NTT
+    # planes and MACs); P/D margin ~2^3 — fine at 2^-10 precision
+    "bench_n14_a4": lambda: ckks_params(1 << 14, levels=8, scale_bits=30,
+                                        num_special=4),
+    # all-primes-<2^30 variant (scale 2^29, 30-bit first/special primes):
+    # every NTT basis qualifies for the 3-multiply approximate-mulhi
+    # Shoup path (mxu_ntt._shoup_scalarish fast branch — exact for
+    # q < 2^30)
+    "bench_n14_fast": lambda: ckks_params(1 << 14, levels=8, scale_bits=29,
+                                          num_special=4,
+                                          first_prime_bits=30,
+                                          special_prime_bits=30),
     # HIGH-PRECISION pair-rescale: scale ≈ 2^44 (beats the reference's
     # 2^40, matrix_operations.cpp:63-66) at the same N=2^13 / depth 2
     "ckks_hi": lambda: ckks_params(1 << 13, levels=2, scale_bits=44,

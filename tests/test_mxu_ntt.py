@@ -123,3 +123,23 @@ def test_fwd_lifted_matches_explicit_decompose(rng):
     got = mxu_ntt.ntt_fwd_lifted(y, plan.lift_w, plan.lift_ws,
                                  plan.lift_dig, plan.foreign_cat_tables)
     assert (np.asarray(got) == np.asarray(want)).all()
+
+
+def test_shoup_fast_exact(rng):
+    """The 3-multiply approximate-mulhi Shoup (_shoup_fast) is exact for
+    q < 2^30 for ANY u32 input x (incl. the REDC output range ≥ 2^31)
+    — the property the bench_n14_fast kernels rely on."""
+    for qbits in (28, 29, 30):
+        q = int(nt.gen_primes(qbits, 1, 2048)[0])
+        assert q < (1 << 30)
+        w = rng.integers(0, q, 256, dtype=np.uint64)
+        ws = ((w << 32) // q).astype(np.uint32)
+        x = np.concatenate([
+            rng.integers(0, 1 << 32, 192, dtype=np.uint64),
+            np.array([0, 1, q - 1, q, 2 * q, (1 << 32) - 1], np.uint64),
+            rng.integers((1 << 31), 1 << 32, 58, dtype=np.uint64)])
+        want = (x * w) % q
+        got = np.asarray(mxu_ntt._shoup_fast(
+            jnp.asarray(x.astype(np.uint32)), jnp.asarray(w.astype(np.uint32)),
+            jnp.asarray(ws), jnp.uint32(q))).astype(np.uint64)
+        assert (got == want).all()
