@@ -135,3 +135,23 @@ def test_multiply_kpart(crt, rng):
     got = crt.scheme.decrypt(d, crt.sk_data)
     want = (a.astype(object) * b % t) * c % t
     np.testing.assert_array_equal(got, want)
+
+
+def test_crt_lift_auto_matches_full(crt, rng):
+    """crt_lift_auto (adaptive limb escalation, VERDICT r5) equals the
+    exact full lift for small, medium, and full-range values."""
+    ctx = crt.ctx
+    lvl = ctx.num_data - 1
+    primes = ctx.params.moduli[: lvl + 1]
+    n = 64
+    Q = 1
+    for q in primes:
+        Q *= q
+    for hi in (1 << 16, 1 << 60, Q - 1):
+        vals = [int(rng.integers(0, min(hi, 1 << 62))) for _ in range(n)]
+        vals[0] = hi - 1 if hi > 1 else 0
+        res = np.stack([np.array([v % q for v in vals], dtype=np.uint32)
+                        for q in primes])
+        want = ctx.crt_lift(res, lvl)
+        got = ctx.crt_lift_auto(res, lvl)
+        assert all(int(a) == int(b) for a, b in zip(got, want))
