@@ -154,13 +154,25 @@ def sec_sweep():
     from hetpu.core.params import chain_sweep
     from hetpu.demos.math_operations import bench_he_all_chained
     from hetpu.session import Session
+    from hetpu.demos.math_operations import bench_he_all
     want = {2, 6, 10, 14, 18, 22, 26}
     out = {}
     for lv, params in chain_sweep(1 << 15, 2, 26):
         if lv not in want:
             continue
-        sess = Session.create(params, galois_steps=[1])
-        times = bench_he_all_chained(sess)
+        try:
+            sess = Session.create(params, galois_steps=[1])
+            times = bench_he_all_chained(sess)
+        except Exception as e:
+            # deep-chain scan programs can exceed the remote-compile
+            # payload limit — fall back to per-dispatch timing for that
+            # level rather than losing the section
+            try:
+                times = bench_he_all(sess)
+                out[f"levels_{lv}_note"] = "per-dispatch fallback"
+            except Exception as e2:
+                out[f"levels_{lv}"] = {"error": f"{type(e2).__name__}: {e2}"}
+                continue
         out[f"levels_{lv}"] = {k: round(v * 1e3, 3) for k, v in times.items()}
         print(f"  levels={lv}: {out[f'levels_{lv}']} (ms)", flush=True)
     return out
@@ -284,86 +296,104 @@ def sec_baseline():
     from hetpu.utils.keycache import cached_session
     out = {}
 
-    # ---- config 3 ----------------------------------------------------
-    from hetpu.linalg.batched import BatchedMatrix
-    d, chunk = 128, 8
-    sess = cached_session("bench_n14", seed=b"\x31" * 32,
-                          galois_steps=list(range(1, d)))
-    rng = np.random.default_rng(3)
-    A = rng.uniform(-1, 1, (d, d))
-    Bm = rng.uniform(-1, 1, (d, d))
-    ma = BatchedMatrix.encrypt(sess, A, layout="diag")
-    mb = BatchedMatrix.encrypt(sess, Bm, layout="col")
+    def _guard(name, fn):
+        try:
+            out[name] = fn()
+        except Exception as e:       # keep other configs' results
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+        print(f"  {name}: {out[name]}", flush=True)
 
-    def chunk_fn(bdata):
-        mbc = BatchedMatrix(sess, mb.ct.with_(data=bdata), rows=d,
-                            cols=chunk, layout="col")
-        return ma.matmul(mbc).ct.data
-    jfn = jax.jit(chunk_fn)
-    t0 = time.perf_counter()
-    jax.block_until_ready(jfn(mb.ct.data[:chunk]))       # compile+run
-    t_compile = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    cols = [np.asarray(jfn(mb.ct.data[j: j + chunk]))
-            for j in range(0, d, chunk)]
-    dt = time.perf_counter() - t0
-    got_ct = np.concatenate(cols, axis=0)
-    # level/scale metadata for the chunk outputs from one real col matmul
-    ref_ct = ma.matmul(BatchedMatrix(sess, mb.ct.with_(
-        data=mb.ct.data[:1]), rows=d, cols=1, layout="col")).ct
-    mc = BatchedMatrix(sess, ref_ct.with_(data=jnp.asarray(got_ct)),
-                       rows=d, cols=d, layout="col")
-    err = float(np.abs(mc.decrypt().real - A @ Bm).max())
-    out["matmul128_n14_L8"] = {
-        "matmul_s": round(dt, 3), "compile_s": round(t_compile, 1),
-        "chunk": chunk, "max_err": err}
-    print(f"  matmul128: {out['matmul128_n14_L8']}", flush=True)
+    # ---- config 3 ----------------------------------------------------
+    def cfg3():
+        from hetpu.linalg.batched import BatchedMatrix
+        d, chunk = 128, 8
+        sess = cached_session("bench_n14", seed=b"\x31" * 32,
+                              galois_steps=list(range(1, d)))
+        rng = np.random.default_rng(3)
+        A = rng.uniform(-1, 1, (d, d))
+        Bm = rng.uniform(-1, 1, (d, d))
+        ma = BatchedMatrix.encrypt(sess, A, layout="diag")
+        mb = BatchedMatrix.encrypt(sess, Bm, layout="col")
+
+        # per-op jitted composition (a single whole-chunk jit exceeds
+        # the remote-compile payload limit at 128 hoisted rotations);
+        # timing includes per-op dispatch — the production shape here
+        def chunk_fn(bdata):
+            mbc = BatchedMatrix(sess, mb.ct.with_(data=bdata), rows=d,
+                                cols=chunk, layout="col")
+            return ma.matmul(mbc).ct.data
+        t0 = time.perf_counter()
+        _ = np.asarray(chunk_fn(mb.ct.data[:chunk]))     # warm compiles
+        t_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        cols = [np.asarray(chunk_fn(mb.ct.data[j: j + chunk]))
+                for j in range(0, d, chunk)]
+        dt = time.perf_counter() - t0
+        got_ct = np.concatenate(cols, axis=0)
+        # level/scale metadata for the chunk outputs from one col matmul
+        ref_ct = ma.matmul(BatchedMatrix(sess, mb.ct.with_(
+            data=mb.ct.data[:1]), rows=d, cols=1, layout="col")).ct
+        mc = BatchedMatrix(sess, ref_ct.with_(data=jnp.asarray(got_ct)),
+                           rows=d, cols=d, layout="col")
+        err = float(np.abs(mc.decrypt().real - A @ Bm).max())
+        return {"matmul_s": round(dt, 3), "compile_s": round(t_compile, 1),
+                "chunk": chunk, "max_err": err}
 
     # ---- config 4 ----------------------------------------------------
-    from hetpu import fft as hefft
-    n, nct = 1024, 64
-    steps = sorted({s for h in [n >> (i + 1)
-                                for i in range(n.bit_length() - 1)]
-                    for s in (h, -h)})
-    fs = cached_session("ckks_fft", seed=b"\x32" * 32, galois_steps=steps)
-    sig = rng.uniform(-1, 1, (nct, n)) + 1j * rng.uniform(-1, 1, (nct, n))
-    tile = fs.slots // n
-    cts = [fs.encrypt(np.tile(sig[i], tile)) for i in range(nct)]
-    ct = cts[0].with_(data=jnp.stack([c.data for c in cts]))
-    t0 = time.perf_counter()
-    fout = hefft.bfft(fs, ct, n)
-    jax.block_until_ready(fout.data)
-    dt = time.perf_counter() - t0
-    errs = []
-    for i in (0, nct // 2, nct - 1):
-        got = fs.decrypt(fout.with_(data=fout.data[i]))[:n]
-        want = hefft.bit_reverse_order(np.fft.fft(sig[i]))
-        errs.append(np.abs(got - want).max())
-    out["bfft1024_x64_n14"] = {
-        "bfft_s": round(dt, 3), "n": n, "batch_cts": nct,
-        "max_err": float(np.max(errs))}
-    print(f"  bfft1024x64: {out['bfft1024_x64_n14']}", flush=True)
+    def cfg4():
+        from hetpu import fft as hefft
+        rng = np.random.default_rng(3)
+        n, nct = 1024, 64
+        steps = sorted({s for h in [n >> (i + 1)
+                                    for i in range(n.bit_length() - 1)]
+                        for s in (h, -h)})
+        fs = cached_session("ckks_fft", seed=b"\x32" * 32,
+                            galois_steps=steps)
+        # 1/n-normalized signal (ifft convention): FFT outputs stay O(1)
+        # — a ±1 signal's length-1024 spectrum peaks near n, beyond the
+        # single-limb bottom capacity at scale 2^30; same compute,
+        # representable output
+        sig = (rng.uniform(-1, 1, (nct, n))
+               + 1j * rng.uniform(-1, 1, (nct, n))) / n
+        tile = fs.slots // n
+        cts = [fs.encrypt(np.tile(sig[i], tile)) for i in range(nct)]
+        ct = cts[0].with_(data=jnp.stack([c.data for c in cts]))
+        t0 = time.perf_counter()
+        fout = hefft.bfft(fs, ct, n)
+        jax.block_until_ready(fout.data)
+        dt = time.perf_counter() - t0
+        errs = []
+        for i in (0, nct // 2, nct - 1):
+            got = fs.decrypt(fout.with_(data=fout.data[i]))[:n]
+            want = hefft.bit_reverse_order(np.fft.fft(sig[i]))
+            errs.append(np.abs(got - want).max())
+        return {"bfft_s": round(dt, 3), "n": n, "batch_cts": nct,
+                "max_err": float(np.max(errs))}
 
     # ---- config 5 ----------------------------------------------------
-    from hetpu.offload import pipeline
-    from hetpu.session import Session
-    ps = Session.create("ckks_hi14", seed=b"\x33" * 32,
-                        galois_steps=list(range(1, 8)))
-    vals = [rng.uniform(-1, 1, ps.slots) for _ in range(8)]
-    cts5 = [ps.encrypt(v) for v in vals]
-    nd = len(jax.devices())
-    t0 = time.perf_counter()
-    res = pipeline.evaluate_sharded_infer(ps, cts5, wseed=7, n_diags=8,
-                                          n_devices=nd)
-    dt = time.perf_counter() - t0
-    diags, act = pipeline._infer_weights(ps.slots, 8, 7)
-    errs = [np.abs(ps.decrypt(r).real
-                   - pipeline.infer_reference(v, diags, act)).max()
-            for r, v in zip(res, vals)]
-    out["pipeline_infer_n14"] = {
-        "batch": 8, "n_diags": 8, "mesh_devices": nd,
-        "wall_s": round(dt, 3), "max_err": float(np.max(errs))}
-    print(f"  pipeline_infer: {out['pipeline_infer_n14']}", flush=True)
+    def cfg5():
+        from hetpu.offload import pipeline
+        from hetpu.session import Session
+        rng = np.random.default_rng(3)
+        ps = Session.create("ckks_hi14", seed=b"\x33" * 32,
+                            galois_steps=list(range(1, 8)))
+        vals = [rng.uniform(-1, 1, ps.slots) for _ in range(8)]
+        cts5 = [ps.encrypt(v) for v in vals]
+        nd = len(jax.devices())
+        t0 = time.perf_counter()
+        res = pipeline.evaluate_sharded_infer(ps, cts5, wseed=7,
+                                              n_diags=8, n_devices=nd)
+        dt = time.perf_counter() - t0
+        diags, act = pipeline._infer_weights(ps.slots, 8, 7)
+        errs = [np.abs(ps.decrypt(r).real
+                       - pipeline.infer_reference(v, diags, act)).max()
+                for r, v in zip(res, vals)]
+        return {"batch": 8, "n_diags": 8, "mesh_devices": nd,
+                "wall_s": round(dt, 3), "max_err": float(np.max(errs))}
+
+    _guard("matmul128_n14_L8", cfg3)
+    _guard("bfft1024_x64_n14", cfg4)
+    _guard("pipeline_infer_n14", cfg5)
     return out
 
 
