@@ -53,29 +53,43 @@ def main():
     a = base.with_(data=jnp.stack([base.data] * BATCH))
     b = b_ct.with_(data=jnp.stack([b_ct.data] * BATCH))
 
+    def fold_into(x0, y):
+        """XOR-fold EVERY element of y into an x0-shaped tag: each step's
+        full output feeds the next step's input, so XLA cannot slice any
+        elementwise stage down to a sampled tag (an 8-element tag lets
+        the compiler prune work after the last opaque kernel)."""
+        n0 = x0.size
+        yf = jnp.ravel(y)
+        k = -(-yf.size // n0)
+        yf = jnp.pad(yf, (0, k * n0 - yf.size))
+        folded = jax.lax.reduce(yf.reshape(k, n0), jnp.uint32(0),
+                                jnp.bitwise_xor, (0,))
+        return (folded & jnp.uint32(1)).reshape(x0.shape)
+
     @jax.jit
     def run(da, db, tag0):
         def body(tag, _):
-            # fold the previous step's tag into the input: a true
-            # sequential dependency chain across all K steps
+            # fold the previous step's FULL output into the input: a true
+            # sequential dependency chain across all K steps with every
+            # output element consumed
             ca = a.with_(data=jnp.bitwise_xor(da, tag))
             out = sess.ev.multiply_relin_rescale(ca, b.with_(data=db),
                                                  sess.rk)
-            new_tag = jnp.sum(out.data[..., :1, :1, :8],
-                              dtype=jnp.uint32) & jnp.uint32(1)
-            return new_tag, ()
+            return fold_into(da, out.data), ()
         tag, _ = jax.lax.scan(body, tag0, None, length=K)
         return tag
 
+    sync = jax.jit(lambda t: jnp.sum(t, dtype=jnp.uint32))
     # compile + warmup
-    _ = int(run(a.data, b.data, jnp.uint32(0)))
+    tag = jnp.zeros_like(a.data)
+    _ = int(sync(run(a.data, b.data, tag)))
 
     reps = int(os.environ.get("HETPU_BENCH_REPS", "2"))
-    tag = jnp.uint32(0)
+    tag = jnp.zeros_like(a.data)
     t0 = time.perf_counter()
     for _ in range(reps):
         tag = run(a.data, b.data, tag)
-    _ = int(tag)                       # forces the whole chain
+    _ = int(sync(tag))                 # forces the whole chain
     dt = time.perf_counter() - t0
 
     ops_per_s = BATCH * K * reps / dt

@@ -71,22 +71,33 @@ def bench_he_all_chained(sess: Session, K: int = 64, reps: int = 2) -> dict:
                   m3.data),
         "rescale": (lambda d: ev.rescale(pm.with_(data=d)).data, pm.data),
     }
+    def fold_into(x0, y):
+        """XOR-fold EVERY element of y into an x0-shaped tag: the next
+        step consumes all of this step's output, so XLA cannot slice the
+        purely-elementwise ops down to a sampled tag."""
+        n0 = x0.size
+        yf = jnp.ravel(y)
+        k = -(-yf.size // n0)
+        yf = jnp.pad(yf, (0, k * n0 - yf.size))
+        folded = jax.lax.reduce(yf.reshape(k, n0), jnp.uint32(0),
+                                jnp.bitwise_xor, (0,))
+        return (folded & jnp.uint32(1)).reshape(x0.shape)
+
     out = {}
     for name, (fn, x0) in cases.items():
         @jax.jit
         def run(x0, tag0, fn=fn):
             def body(tag, _):
                 yv = fn(jnp.bitwise_xor(x0, tag))
-                tag = jnp.sum(yv.reshape(-1)[:8],
-                              dtype=jnp.uint32) & jnp.uint32(1)
-                return tag, ()
+                return fold_into(x0, yv), ()
             tag, _ = jax.lax.scan(body, tag0, None, length=K)
-            return tag
-        tag = run(x0, jnp.uint32(0))
+            return jnp.sum(tag, dtype=jnp.uint32)
+        tag0 = jnp.zeros_like(x0)
+        tag = run(x0, tag0)
         _ = int(tag)                                     # compile + warm
         t = Timer()
         for _ in range(reps):
-            tag = run(x0, tag)
+            tag = run(x0, tag0)
         _ = int(tag)
         out[name] = t.tocr() / (K * reps)
     return out

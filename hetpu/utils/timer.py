@@ -16,10 +16,19 @@ class Timer:
 
     def tocr(self, block_on=None) -> float:
         """Elapsed seconds (reference tocr). If `block_on` is a jax array
-        (or pytree), wait for it before reading the clock."""
+        (or pytree), wait for it before reading the clock.
+
+        The wait is a tiny HOST TRANSFER of a value derived from every
+        leaf, not ``jax.block_until_ready`` — on remote-device backends
+        (the axon relay) block_until_ready returns before execution
+        finishes, which silently turns timings into dispatch latency."""
         if block_on is not None:
             import jax
-            jax.block_until_ready(block_on)
+            import jax.numpy as jnp
+            import numpy as np
+            for leaf in jax.tree_util.tree_leaves(block_on):
+                if hasattr(leaf, "dtype"):
+                    _ = np.asarray(jnp.ravel(leaf)[:1])
         return time.perf_counter() - self._t0
 
     def toc(self, label: str = "", block_on=None) -> float:
