@@ -24,7 +24,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from . import galois, mxu_fbc
+from . import galois, ip_kernel, mxu_fbc
 from .ciphertext import Ciphertext, Plaintext, check_add_compat, scales_close
 from .context import Context, KeySwitchPlan, RescalePlan
 from .keys import GaloisKeys, KSwitchKey, RelinKeys
@@ -256,15 +256,13 @@ class Evaluator:
         k, ks = sel(ksk.data), sel(ksk.shoup)
         q = plan.q
 
-        # unrolled digit loop (J is small and static): keeps the whole
-        # inner product one fusible expression — a lax.scan here costs
-        # ~0.8 ms/step of while-loop overhead on v5e (profiled).  Keys are
-        # Shoup-form (keys.KSwitchKey), so each MAC is a 6-mul shoup_mul.
-        acc = None
-        for j in range(J):
-            prod = shoup_mul(ext[..., j, None, :, :], k[j], ks[j], q)
-            acc = prod if acc is None else mod_add(acc, prod, q)
-        return acc
+        # Default path: unrolled digit loop (J is small and static) —
+        # one fusible XLA expression whose MACs are 6-mul shoup_muls; a
+        # lax.scan here costs ~0.8 ms/step of while-loop overhead on
+        # v5e (profiled).  ip_kernel's pallas variant (HETPU_PALLAS_IP=1)
+        # is bit-exact but measured ~6% slower in the fused op — the
+        # call boundary forces `ext` to materialize (see ip_kernel.py).
+        return ip_kernel.inner_product(ext, k, ks, q)
 
     def _inner_product(self, ext: jax.Array, level: int, ksk: KSwitchKey):
         """Σ_j digit_j ⊙ ksk_j, then mod-down by P = ∏ specials.

@@ -1,5 +1,7 @@
 """Isolate Pallas kernel costs: s8 dot, extract, recombine, twiddle."""
 import time
+import pathlib, sys
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 import numpy as np
 import jax, jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -68,7 +70,7 @@ def make(variant, rb=8):
         )(x, w_s8, tw, tws)
     return call
 
-def bench(name, fn, x, K=20, iters=3):
+def bench(name, fn, x, K=200, iters=3):
     @jax.jit
     def chain(x):
         def body(c, _):
